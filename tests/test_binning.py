@@ -1,0 +1,94 @@
+"""Binning invariants (SURVEY.md §6.2): Morton round-trip, table partition,
+key/cell consistency, capacity estimator sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from md_neighbor_list_tpu.core.box import Box
+from md_neighbor_list_tpu.core.capacity import estimate
+from md_neighbor_list_tpu.ops.binning import (bin_particles, cell_coords,
+                                              make_grid, morton_decode,
+                                              morton_key, rowmajor_key)
+
+
+def test_morton_roundtrip(rng):
+    coords = jnp.asarray(rng.integers(0, 1024, (5000, 3)), jnp.int32)
+    back = morton_decode(morton_key(coords))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(coords))
+
+
+def test_morton_orders_locally():
+    """Adjacent coords differ by small morton distance vs far coords (weak
+    locality smoke check)."""
+    a = morton_key(jnp.array([[1, 1, 1]], jnp.int32))[0]
+    b = morton_key(jnp.array([[1, 1, 2]], jnp.int32))[0]
+    c = morton_key(jnp.array([[512, 512, 512]], jnp.int32))[0]
+    assert abs(int(b) - int(a)) < abs(int(c) - int(a))
+
+
+def _random_system(rng, n, rho=1.0):
+    box = Box.from_density(n, rho)
+    pos = jnp.asarray(rng.uniform(0, box.L, (n, 3)), jnp.float32)
+    return pos, box
+
+
+def _check_bins(pos, box, layout):
+    grid = make_grid(box, 2.8)
+    assert grid.usable
+    bins = bin_particles(pos, grid, cell_cap=64, layout=layout)
+    n = pos.shape[0]
+
+    # perm is a permutation
+    perm = np.asarray(bins.perm)
+    assert sorted(perm.tolist()) == list(range(n))
+
+    # table holds every sorted particle exactly once
+    table = np.asarray(bins.table)
+    entries = table[table < n]
+    assert sorted(entries.tolist()) == list(range(n))
+
+    # each table row's particles actually live in that cell
+    pos_s = np.asarray(pos)[perm]
+    coords = np.asarray(cell_coords(jnp.asarray(pos_s), grid))
+    cells = np.asarray(rowmajor_key(jnp.asarray(coords), grid.mc))
+    for c in range(table.shape[0]):
+        for p in table[c][table[c] < n]:
+            assert cells[p] == c
+
+    # sorted coords stored in BinData match recomputed ones
+    np.testing.assert_array_equal(np.asarray(bins.coords), coords)
+    assert not bool(bins.overflow)
+
+
+def test_bin_invariants_rowmajor(rng):
+    pos, box = _random_system(rng, 2000)
+    _check_bins(pos, box, "rowmajor")
+
+
+def test_bin_invariants_morton(rng):
+    pos, box = _random_system(rng, 2000)
+    _check_bins(pos, box, "morton")
+
+
+def test_cell_overflow_detected():
+    """All particles in one cell must trip the overflow flag, not truncate
+    silently (SURVEY.md §7.2)."""
+    n = 200
+    box = Box.from_density(n, 1.0)
+    pos = jnp.full((n, 3), 0.1, jnp.float32)
+    grid = make_grid(box, 2.8)
+    bins = bin_particles(pos, grid, cell_cap=32, layout="rowmajor")
+    assert bool(bins.overflow)
+    assert int(bins.cell_max) == n
+
+
+def test_capacity_estimator_covers_measured(rng):
+    """Estimator must upper-bound the realized max cell occupancy and
+    neighbor count for a random ideal-gas configuration (SURVEY.md §6.2)."""
+    n = 4096
+    pos, box = _random_system(rng, n)
+    grid = make_grid(box, 2.8)
+    cap = estimate(rho=1.0, rs=2.8, cell_size=grid.cell_size, half_list=True)
+    bins = bin_particles(pos, grid, cap.cell, "morton")
+    assert int(bins.cell_max) <= cap.cell
