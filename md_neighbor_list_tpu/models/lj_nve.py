@@ -142,6 +142,12 @@ class Simulator:
             return carry
 
         @jax.jit
+        def rebuild_only(system: System) -> Carry:
+            """Bin + sweep only — the benchmarked list-build op
+            (BASELINE.md row 1)."""
+            return do_rebuild(system, jnp.zeros((), jnp.int32))
+
+        @jax.jit
         def initial_build(system: System) -> Carry:
             carry = do_rebuild(system, jnp.zeros((), jnp.int32))
             force, _ = forces(carry.system, carry.nbr)
@@ -154,7 +160,10 @@ class Simulator:
 
         self._run_chunk = run_chunk
         self._initial_build = initial_build
+        self._rebuild_only = rebuild_only
         self._energies = energies
+        # raw (un-jitted) single step, exposed for embedding/compile checks
+        self.step_fn = lambda carry: step(carry, None)[0]
 
     # ------------------------------------------------------------------- API
     def init(self, key=None, lattice: bool = True) -> Carry:

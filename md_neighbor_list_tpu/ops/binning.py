@@ -115,10 +115,12 @@ class BinData(NamedTuple):
     table: jnp.ndarray  # (ncells, cell_cap) i32 sorted-particle indices, pad N
     cell_max: jnp.ndarray  # ()  i32 max particles observed in any cell
     overflow: jnp.ndarray  # ()  bool cell table overflow (cell_max > cap)
+    active: jnp.ndarray | None = None  # (N,) bool sorted order; None = all
 
 
 def bin_particles(pos: jnp.ndarray, grid: CellGrid, cell_cap: int,
-                  layout: str = "morton") -> BinData:
+                  layout: str = "morton",
+                  active: jnp.ndarray | None = None) -> BinData:
     """Sort particles spatially and build the dense cell->particles table.
 
     The rank of a particle within its cell is ``row - first_row_with_same
@@ -126,22 +128,34 @@ def bin_particles(pos: jnp.ndarray, grid: CellGrid, cell_cap: int,
     themselves), replacing the reference's counting-sort prefix pointers
     with pure XLA ops. Ranks >= cell_cap are dropped by the scatter and
     reported via ``cell_max`` for the overflow/re-jit protocol
-    (SURVEY.md §4.3)."""
+    (SURVEY.md §4.3).
+
+    ``active``: optional validity mask for fixed-capacity slot arrays (the
+    slab-decomposition path, SURVEY.md §4.6, keeps empty slots). Inactive
+    particles sort to the end (key INT32_MAX) and never enter the table, so
+    they can never appear as pair candidates."""
     if layout not in ("morton", "rowmajor"):
         raise ValueError(f"unknown layout {layout!r}")
     n = pos.shape[0]
     coords = cell_coords(pos, grid)
     cell = rowmajor_key(coords, grid.mc)
     sort_key = morton_key(coords) if layout == "morton" else cell
+    if active is not None:
+        sort_key = jnp.where(active, sort_key, jnp.int32(0x7FFFFFFF))
 
     iota = jnp.arange(n, dtype=jnp.int32)
     sorted_key, perm = lax.sort_key_val(sort_key, iota)
     coords_s = coords[perm]
     cell_s = cell[perm]
+    active_s = None if active is None else active[perm]
 
     first = jnp.searchsorted(sorted_key, sorted_key, side="left")
     rank = iota - first.astype(jnp.int32)
-    cell_max = jnp.max(rank) + 1
+    if active_s is None:
+        cell_max = jnp.max(rank) + 1
+    else:
+        cell_s = jnp.where(active_s, cell_s, grid.ncells)  # scatter-dropped
+        cell_max = jnp.max(jnp.where(active_s, rank, -1)) + 1
 
     table = jnp.full((grid.ncells, cell_cap), n, dtype=jnp.int32)
     table = table.at[cell_s, jnp.minimum(rank, cell_cap)].set(iota, mode="drop")
@@ -151,6 +165,7 @@ def bin_particles(pos: jnp.ndarray, grid: CellGrid, cell_cap: int,
         table=table,
         cell_max=cell_max,
         overflow=cell_max > cell_cap,
+        active=active_s,
     )
 
 

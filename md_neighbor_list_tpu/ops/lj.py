@@ -25,16 +25,25 @@ from md_neighbor_list_tpu.ops.common import lj_force_scalar, lj_potential
 
 
 def forces_energy(pos: jnp.ndarray, idx: jnp.ndarray, box: Box, rc: float,
-                  half: bool, chunk: int = 8192) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  half: bool, chunk: int = 8192,
+                  energy_rows: jnp.ndarray | None = None,
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forces (N, 3) and total shifted potential energy from padded rows.
 
     ``idx`` rows index into ``pos`` (same ordering); sentinel entries == N
     are masked. Energy counts each pair once (half rows are unique pairs;
-    full rows are halved)."""
+    full rows are halved). ``energy_rows`` optionally restricts which rows
+    contribute potential energy — the slab-DD path passes its owned-slot
+    mask so ghost rows don't double-count cross-slab pairs (each side then
+    contributes the pair once, and the full-list 0.5 factor makes it exact;
+    SURVEY.md §4.6)."""
     n, k = idx.shape
     npad = ((n + chunk - 1) // chunk) * chunk
     idx_pad = jnp.pad(idx, ((0, npad - n), (0, 0)), constant_values=n)
     pos_rows = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    erows_pad = (
+        None if energy_rows is None else jnp.pad(energy_rows, (0, npad - n))
+    )
     pos_gather = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], axis=0)
     r2cut = jnp.float32(rc * rc)
 
@@ -54,7 +63,11 @@ def forces_energy(pos: jnp.ndarray, idx: jnp.ndarray, box: Box, rc: float,
         cur = lax.dynamic_slice_in_dim(force, start, chunk)
         force = lax.dynamic_update_slice_in_dim(force, cur + fi, start, axis=0)
 
-        u = jnp.sum(lj_potential(r2, mask, rc))
+        u_rows = jnp.sum(lj_potential(r2, mask, rc), axis=1)  # (B,)
+        if erows_pad is not None:
+            w = lax.dynamic_slice_in_dim(erows_pad, start, chunk)
+            u_rows = u_rows * w.astype(u_rows.dtype)
+        u = jnp.sum(u_rows)
         if half:
             # Newton-3 partner scatter: each listed pair pushes -f*dr onto j.
             fj = ops.segment_sum(

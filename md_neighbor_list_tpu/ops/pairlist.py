@@ -64,6 +64,10 @@ def sweep_from_bins(pos_sorted: jnp.ndarray, bins: BinData, box: Box,
     npad = ((n + chunk - 1) // chunk) * chunk
     coords_pad = jnp.pad(bins.coords, ((0, npad - n), (0, 0)))
     pos_pad = jnp.pad(pos_sorted, ((0, npad - n), (0, 0)))
+    active_pad = (
+        None if bins.active is None
+        else jnp.pad(bins.active, (0, npad - n))
+    )
     pos_gather = jnp.concatenate(
         [pos_sorted, jnp.zeros((1, 3), pos_sorted.dtype)], axis=0
     )  # sentinel row keeps gathers in-bounds; masked out via cand < n
@@ -85,6 +89,10 @@ def sweep_from_bins(pos_sorted: jnp.ndarray, bins: BinData, box: Box,
         mask = (cand < n) & (r2 < r2cut) & (cand != i_sorted[:, None])
         if half:
             mask &= cand > i_sorted[:, None]
+        if active_pad is not None:
+            # inactive rows emit empty lists (candidates are already clean:
+            # inactive particles never enter the cell table)
+            mask &= lax.dynamic_slice_in_dim(active_pad, start, chunk)[:, None]
         return compact_rows(cand, mask, k_cap, fill=n)
 
     starts = jnp.arange(0, npad, chunk, dtype=jnp.int32)
@@ -127,6 +135,48 @@ def build_neighbor_lists(pos: jnp.ndarray, box: Box, grid: CellGrid,
         idx=idx,
         count=cnt,
         perm=bins.perm,
+        max_count=mx,
+        cell_max=bins.cell_max,
+        overflow=(mx > k_cap) | bins.overflow,
+    )
+
+
+def build_neighbor_lists_stable(pos: jnp.ndarray, box: Box, grid: CellGrid,
+                                radius: float, k_cap: int, cell_cap: int,
+                                half: bool, layout: str = "morton",
+                                active: jnp.ndarray | None = None,
+                                chunk: int = 2048) -> NeighborLists:
+    """Sweep that leaves particle order untouched: rows and entries of the
+    returned ``idx`` are in the *caller's* slot order.
+
+    Used by the slab-decomposition path (SURVEY.md §4.6), where slot
+    identity must stay stable between rebuilds (halo send-index lists and
+    per-device ownership reference fixed slots). Internally bins/sorts like
+    the fast path, then translates both row order and entry values back
+    through the permutation."""
+    n = pos.shape[0]
+    if not grid.usable:
+        raise ValueError(
+            "cell grid too small for 27-sweep (mc < 3); stable builds are "
+            "only used by the DD path, which requires a usable grid"
+        )
+    bins = bin_particles(pos, grid, cell_cap, layout, active)
+    pos_sorted = pos[bins.perm]
+    idx_s, cnt_s = sweep_from_bins(
+        pos_sorted, bins, box, grid, radius, k_cap, half, chunk
+    )
+    # Translate sorted-space entries -> original slots (sentinel n -> n).
+    perm_ext = jnp.concatenate(
+        [bins.perm, jnp.array([n], jnp.int32)]
+    )
+    entries = perm_ext[jnp.minimum(idx_s, n)]
+    idx = jnp.zeros_like(idx_s).at[bins.perm].set(entries)
+    cnt = jnp.zeros_like(cnt_s).at[bins.perm].set(cnt_s)
+    mx = jnp.max(cnt)
+    return NeighborLists(
+        idx=idx,
+        count=cnt,
+        perm=jnp.arange(n, dtype=jnp.int32),
         max_count=mx,
         cell_max=bins.cell_max,
         overflow=(mx > k_cap) | bins.overflow,
