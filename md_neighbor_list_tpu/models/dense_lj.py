@@ -1,0 +1,234 @@
+"""DenseSimulator — the Pallas-kernel LJ/NVE engine (configs C3/C4 fast
+path; SURVEY.md §9 M3).
+
+Same simulation contract as ``models.lj_nve.Simulator`` (velocity Verlet,
+displacement-triggered rebuilds, overflow rollback + re-jit growth) but the
+particle state lives in the dense cell-block layout (ops/dense_cells.py) and
+the hot ops are Pallas kernels (ops/pallas_force.py):
+
+  step:   kick -> drift/wrap -> rebuild vote -> lax.cond(sort+expand) ->
+          dense cell-pair force kernel -> kick          (one jitted scan)
+  Verlet reuse: between rebuilds the *binning* is reused — cell size >= rs
+  guarantees every rc-pair stays inside the stale 27-neighborhood while
+  2*max_disp <= skin (SURVEY.md §4.4, recast for cluster sweeps).
+
+On non-TPU backends the Pallas calls can run in interpreter mode or be
+swapped for the bit-compatible jnp reference (ops/dense_ref.py) —
+``kernel_impl`` selects, tests exercise both.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from md_neighbor_list_tpu.core.box import Box
+from md_neighbor_list_tpu.core.config import MDConfig
+from md_neighbor_list_tpu.core.system import System, init_lattice, init_random
+from md_neighbor_list_tpu.ops import dense_ref, pallas_force
+from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
+                                                  from_packed, make_spec,
+                                                  rebuild_dense, to_packed)
+
+
+class DenseCarry(NamedTuple):
+    state: DenseState
+    force: jnp.ndarray  # (3, R, mc, cap)
+    pe_slots: jnp.ndarray  # (R, mc, cap) per-slot potential (x2 counted)
+    ref_pos: jnp.ndarray  # (3, R, mc, cap)
+    n_rebuilds: jnp.ndarray  # () i32
+    overflow: jnp.ndarray  # () bool (sticky)
+
+
+def _default_impl() -> str:
+    return "pallas" if jax.default_backend() != "cpu" else "jnp"
+
+
+class DenseSimulator:
+    """LJ/NVE on the dense cell layout. kernel_impl: 'pallas' (TPU),
+    'interpret' (Pallas interpreter), or 'jnp' (dense_ref, CPU tests)."""
+
+    def __init__(self, config: MDConfig, cap: int = 32,
+                 kernel_impl: str | None = None):
+        self.config = config
+        self.box = Box.from_density(config.n, config.rho)
+        self.cap = cap
+        self.kernel_impl = kernel_impl or _default_impl()
+        if self.kernel_impl not in ("pallas", "interpret", "jnp"):
+            raise ValueError(f"unknown kernel_impl {self.kernel_impl!r}")
+        self._compile()
+
+    # ---------------------------------------------------------------- build
+    def _compile(self) -> None:
+        cfg = self.config
+        spec = make_spec(self.box, cfg.rs, self.cap)
+        self.spec = spec
+        impl = self.kernel_impl
+        interp = impl == "interpret"
+        n = cfg.n
+        fL = jnp.float32(spec.L)
+
+        def forces(state: DenseState):
+            if impl == "jnp":
+                return dense_ref.sweep_reference(
+                    state, spec, cfg.rc, want_forces=True
+                )
+            valid = state.valid().astype(jnp.float32)
+            return pallas_force.dense_forces(
+                state.pos, valid, spec, cfg.rc, interp
+            )
+
+        def do_rebuild(carry: DenseCarry) -> DenseCarry:
+            if impl == "jnp":
+                state = dense_ref.rebuild_reference(carry.state, spec)
+            else:
+                state, _ = rebuild_dense(carry.state, spec, interp)
+            kept = jnp.sum(state.valid().astype(jnp.int32))
+            return carry._replace(
+                state=state,
+                ref_pos=state.pos,
+                n_rebuilds=carry.n_rebuilds + 1,
+                overflow=carry.overflow | (kept != n),
+            )
+
+        def step(carry: DenseCarry, _):
+            state = carry.state
+            dt = jnp.float32(cfg.dt)
+            vel = state.vel + 0.5 * dt * carry.force
+            # UNWRAPPED drift: positions are wrapped only inside the rebuild
+            # so the stale-bin pre-shift geometry stays exact across the
+            # periodic boundary (see rebuild_dense docstring).
+            pos = state.pos + dt * vel
+            state = state._replace(pos=pos, vel=vel)
+            carry = carry._replace(state=state)
+
+            # unwrapped coords make the displacement an exact difference
+            disp = pos - carry.ref_pos
+            d2 = jnp.sum(disp * disp, axis=0)  # (R, mc, cap)
+            d2max = jnp.max(jnp.where(state.valid(), d2, 0.0))
+            need = 4.0 * d2max > jnp.float32(cfg.skin * cfg.skin)
+            if cfg.rebuild_every_step:
+                need = jnp.bool_(True)
+            carry = lax.cond(need, do_rebuild, lambda c: c, carry)
+
+            force, pe = forces(carry.state)
+            vel = carry.state.vel + 0.5 * dt * force
+            state = carry.state._replace(vel=vel)
+            return carry._replace(state=state, force=force, pe_slots=pe), None
+
+        @functools.partial(jax.jit, static_argnums=1)
+        def run_chunk(carry: DenseCarry, nsteps: int) -> DenseCarry:
+            carry, _ = lax.scan(step, carry, None, length=nsteps)
+            return carry
+
+        @jax.jit
+        def initial_build(state: DenseState) -> DenseCarry:
+            zero = jnp.zeros_like(state.pos)
+            carry = DenseCarry(
+                state=state,
+                force=zero,
+                pe_slots=jnp.zeros_like(state.pid, jnp.float32),
+                ref_pos=state.pos,
+                n_rebuilds=jnp.zeros((), jnp.int32),
+                overflow=jnp.zeros((), bool),
+            )
+            carry = do_rebuild(carry)
+            force, pe = forces(carry.state)
+            return carry._replace(force=force, pe_slots=pe)
+
+        @jax.jit
+        def energies(carry: DenseCarry):
+            v = carry.state.valid()
+            ke = 0.5 * jnp.sum(
+                jnp.where(v[None], carry.state.vel, 0.0) ** 2
+            )
+            pe = 0.5 * jnp.sum(jnp.where(v, carry.pe_slots, 0.0))
+            return ke, pe
+
+        @jax.jit
+        def rebuild_and_lists(state: DenseState):
+            """bin+sort+expand + count/mask kernels — the timed neighbor-
+            list build (BASELINE.md row 1)."""
+            if impl == "jnp":
+                new = dense_ref.rebuild_reference(state, spec)
+            else:
+                new, _ = rebuild_dense(state, spec, interp)
+            valid = new.valid().astype(jnp.float32)
+            if impl == "jnp":
+                counts = dense_ref.sweep_reference(
+                    new, spec, cfg.rs, want_forces=False
+                )
+                masks = None
+            else:
+                counts, masks = pallas_force.dense_counts(
+                    new.pos, valid, spec, cfg.rs,
+                    emit_masks=(spec.cap == 32), interpret=interp,
+                )
+            return new, counts, masks
+
+        self._run_chunk = run_chunk
+        self._initial_build = initial_build
+        self._energies = energies
+        self._rebuild_and_lists = rebuild_and_lists
+        self.step_fn = lambda carry: step(carry, None)[0]
+
+    # ------------------------------------------------------------------ API
+    def init(self, key=None, lattice: bool = True) -> DenseCarry:
+        cfg = self.config
+        if lattice:
+            system, _ = init_lattice(cfg.n, cfg.rho, key, cfg.temperature)
+        else:
+            system, _ = init_random(key, cfg.n, cfg.rho, cfg.temperature)
+        return self.build(system)
+
+    def build(self, system: System) -> DenseCarry:
+        while True:
+            state = from_packed(system.pos, system.vel, system.pid, self.spec)
+            carry = self._initial_build(state)
+            if not bool(np.asarray(carry.overflow)):
+                return carry
+            self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+            self._compile()
+
+    def run(self, carry: DenseCarry, nsteps: int, chunk: int = 100) -> DenseCarry:
+        done = 0
+        while done < nsteps:
+            this = min(chunk, nsteps - done)
+            snapshot = carry
+            carry = self._run_chunk(carry, this)
+            if bool(np.asarray(carry.overflow)):
+                pos, vel = to_packed(snapshot.state, self.config.n, self.spec.L)
+                system = System(
+                    pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                    force=jnp.zeros_like(jnp.asarray(pos)),
+                    pid=jnp.arange(self.config.n, dtype=jnp.int32),
+                )
+                self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+                self._compile()
+                carry = self.build(system)
+                continue
+            done += this
+        return carry
+
+    def energies(self, carry: DenseCarry):
+        return self._energies(carry)
+
+    def to_system(self, carry: DenseCarry):
+        """(pos, vel, force) packed in pid order — host-side, tests only."""
+        pos, vel = to_packed(carry.state, self.config.n, self.spec.L)
+        import numpy as _np
+
+        pid = _np.asarray(carry.state.pid).reshape(-1)
+        keep = pid >= 0
+        f = _np.stack(
+            [_np.asarray(carry.force[i]).reshape(-1)[keep] for i in range(3)],
+            -1,
+        )
+        force = _np.empty_like(f)
+        force[pid[keep]] = f
+        return pos, vel, force

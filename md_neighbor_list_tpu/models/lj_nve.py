@@ -74,8 +74,13 @@ class Simulator:
         self.capacity = capacity
         backend = config.backend
         if backend == "auto":
-            # TODO(M3): flip to "pallas" on TPU once the Pallas sweep lands.
             backend = "xla"
+        if backend == "pallas":
+            raise ValueError(
+                "backend='pallas' is the dense engine — use "
+                "models.dense_lj.DenseSimulator (bench.py selects it "
+                "automatically)"
+            )
         self.backend = backend
         self._compile()
 

@@ -1,0 +1,297 @@
+"""Dense cell-block particle layout — the TPU-native neighbor structure.
+
+This is the M3 performance layer (SURVEY.md §9 M3; BASELINE.json:5,10). The
+reference's AVX-512 path gets its speed from sorted SoA segments scanned with
+16-lane compare + compress; the TPU equivalent must avoid *every* per-element
+gather/scatter (measured on this chip: ~20-30 ms per 1M irregular accesses —
+two orders of magnitude over the regular-op cost). The design:
+
+  particles live in a DENSE 4-D slot structure
+      component arrays of shape (R, mc, cap),  R = mc*mc rows = (z, y),
+      axis 1 = x-cell, axis 2 = slot within cell (pid < 0 marks empty)
+
+  so the 27-cell sweep becomes *rolls and slices* — cell (z,y,x)'s neighbor
+  data is the (z+dz, y+dy) row (a BlockSpec index_map away) rolled by dx
+  along the x-cell axis. Zero gathers in the hot loop; padding slots are
+  masked, not compacted (the cluster-pair idea of PAPERS.md:9, re-shaped for
+  the (8,128) VPU).
+
+Rebuild = one multi-payload XLA sort (the only O(N log N) op) + a Pallas
+"expand" kernel that converts the sorted stream into dense blocks using
+per-sublane variable rolls — no scatter, no searchsorted-self.
+
+Cell-capacity note: an equilibrated LJ liquid at rho=1 has strongly
+sub-Poisson occupancy fluctuations (repulsion suppresses them), so cap=32
+covers mean~23 with wide margin; overflow is still *detected* (a truncated
+particle is a lost particle, counted against N) and recovered by re-jit
+growth (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from md_neighbor_list_tpu.core.box import Box
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseSpec:
+    """Static geometry of the dense layout."""
+
+    mc: int  # cells per dimension (>= 3)
+    cap: int  # slots per cell
+    L: float  # box side
+    cell_size: float  # L / mc  (>= search radius)
+
+    @property
+    def rows(self) -> int:  # R: (z, y) cell rows
+        return self.mc * self.mc
+
+    @property
+    def ncells(self) -> int:
+        return self.mc**3
+
+    @property
+    def slots(self) -> int:  # S: total slots
+        return self.ncells * self.cap
+
+    @property
+    def row_window(self) -> int:  # W: sorted-stream window covering one row
+        return self.mc * self.cap
+
+
+def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
+    mc = max(int(box.L / rs), 1)
+    if mc < 3:
+        raise ValueError(f"box too small for dense cell layout (mc={mc} < 3)")
+    return DenseSpec(mc=mc, cap=cap, L=box.L, cell_size=box.L / mc)
+
+
+class DenseState(NamedTuple):
+    """Dense-slot particle state. ``pos``/``vel`` are component-major
+    (3, R, mc, cap) so kernels slice clean (mc, cap) planes; ``pid`` < 0
+    marks an empty slot (its pos is junk-but-finite, its vel is zero)."""
+
+    pos: jnp.ndarray  # (3, R, mc, cap) f32
+    vel: jnp.ndarray  # (3, R, mc, cap) f32
+    pid: jnp.ndarray  # (R, mc, cap) i32
+
+    def valid(self) -> jnp.ndarray:
+        return self.pid >= 0
+
+
+# --------------------------------------------------------------------- keys
+def _flat(a: jnp.ndarray) -> jnp.ndarray:
+    return a.reshape(-1)
+
+
+def cell_keys(state: DenseState, spec: DenseSpec) -> jnp.ndarray:
+    """Row-major cell key per slot; empty slots get a beyond-last key so the
+    sort parks them at the end, outside every row window."""
+    inv = jnp.float32(1.0 / spec.cell_size)
+    coords = jnp.clip(
+        jnp.floor(state.pos * inv).astype(jnp.int32), 0, spec.mc - 1
+    )  # (3, R, mc, cap)
+    ix, iy, iz = coords[0], coords[1], coords[2]
+    key = ix + spec.mc * (iy + spec.mc * iz)  # matches dense flatten order
+    return jnp.where(state.valid(), key, jnp.int32(spec.ncells))
+
+
+# ------------------------------------------------------------ expand kernel
+def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, spec: DenseSpec):
+    """Per (z, y) row: DMA the sorted-record window for this row's cells and
+    redistribute each cell's run to its fixed cap-stride slots.
+
+    The redistribution out[c*cap + s] = window[off_c + s] is a per-sublane
+    variable ROLL (shift_c = c*cap - off_c >= 0), realized as log2(W)
+    conditional power-of-two rolls — the TPU answer to the counting-sort
+    scatter (SURVEY.md §9 "Compaction on TPU", applied to binning)."""
+    mc, cap, W = spec.mc, spec.cap, spec.row_window
+    r = pl.program_id(0)
+
+    def body(win, sem):
+        start = row_start_ref[r]
+        copy = pltpu.make_async_copy(
+            recs_hbm.at[:, pl.ds(start, W)], win, sem
+        )
+        copy.start()
+        copy.wait()
+
+        keys = win[7:8, :]  # (1, W) f32-encoded cell keys
+        # per-cell start offsets within the window: off[c] = #keys < cell_id
+        cell_ids = (
+            r * mc + jax.lax.broadcasted_iota(jnp.int32, (mc, 1), 0)
+        ).astype(jnp.float32)
+        less = (keys < cell_ids).astype(jnp.int32)  # (mc, W)
+        off = jnp.sum(less, axis=1, keepdims=True)  # (mc, 1)
+        # left-roll row c by off[c] so its cell's run starts at lane 0;
+        # expressed as a cyclic right-roll by (W - off) decomposed in bits
+        shift = jnp.mod(W - off, W)
+
+        def redistribute(plane):  # (1, W) -> (mc, cap)
+            rep = jnp.broadcast_to(plane, (mc, W))
+            b = 1
+            while b < W:
+                rolled = pltpu.roll(rep, b, axis=1)
+                rep = jnp.where((shift & b) != 0, rolled, rep)
+                b <<= 1
+            return rep[:, :cap]
+
+        # validity: slot s of cell c holds a particle iff off[c] + s is
+        # inside this cell's run (its key equals the cell id).
+        key_dense = redistribute(keys)  # (mc, cap)
+        cid = cell_ids  # (mc, 1) f32
+        slot_valid = key_dense == cid
+
+        for comp in range(6):  # x, y, z, vx, vy, vz
+            d = redistribute(win[comp : comp + 1, :])
+            if comp >= 3:  # velocities of empty slots must be zero
+                d = jnp.where(slot_valid, d, 0.0)
+            out_f32[comp, 0] = d
+        pid = redistribute(win[6:7, :]).astype(jnp.int32)
+        out_pid[0] = jnp.where(slot_valid, pid, -1)
+
+    pl.run_scoped(
+        body,
+        win=pltpu.VMEM((8, spec.row_window), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def _row_starts(sorted_keys: jnp.ndarray, spec: DenseSpec) -> jnp.ndarray:
+    """(R+1,) first sorted index of each (z, y) row — via a boundary
+    scatter over at most ncells updates + a running-min backfill (the
+    measured-fast alternative to searchsorted; empty rows inherit the next
+    row's start)."""
+    s = sorted_keys.shape[0]
+    iota = jnp.arange(s, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    row_of = jnp.clip(sorted_keys // spec.mc, 0, spec.rows)
+    # non-boundaries dump into a discard slot BEYOND the sentinel row — it
+    # must not participate in the backfill scan below
+    target = jnp.where(boundary, row_of, spec.rows + 1)
+    starts = (
+        jnp.full((spec.rows + 2,), s, jnp.int32).at[target].min(iota)
+    )[: spec.rows + 1]
+    # backfill: start[r] = min(start[r:]) so empty rows point at the next run
+    starts = lax.associative_scan(jnp.minimum, starts, reverse=True)
+    return starts
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rebuild_dense(state: DenseState, spec: DenseSpec,
+                  interpret: bool = False) -> tuple[DenseState, jnp.ndarray]:
+    """Full spatial rebuild: key -> 8-payload sort -> expand kernel.
+
+    Returns (new_state, row_start). Slot count conservation (every valid
+    particle still present) is the caller's overflow check — a cell run
+    longer than cap is truncated by the expand kernel and detected as a
+    lost particle (SURVEY.md §4.3 overflow protocol).
+
+    Positions are wrapped here and ONLY here: between rebuilds the engine
+    integrates unwrapped coordinates so the sweep's pre-shifted periodic
+    images stay exact even when a particle crosses the box boundary (a
+    wrapped coordinate against a stale cell id would land a full box-length
+    away — the classic wrap-at-rebuild-only rule)."""
+    mc, cap, W = spec.mc, spec.cap, spec.row_window
+    state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
+    keys = _flat(cell_keys(state, spec))
+    x, y, z = (_flat(state.pos[i]) for i in range(3))
+    vx, vy, vz = (_flat(state.vel[i]) for i in range(3))
+    pidf = _flat(state.pid).astype(jnp.float32)  # exact for pid < 2^24
+
+    out = lax.sort(
+        (keys, x, y, z, vx, vy, vz, pidf), dimension=0, num_keys=1
+    )
+    k_s = out[0]
+    recs = jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)), axis=0)
+    # window over-read guard: pad W columns; the key channel must pad with
+    # an out-of-band value (zero would alias cell 0 and fabricate particles)
+    recs = jnp.pad(recs, ((0, 0), (0, W)))
+    recs = recs.at[7, spec.slots:].set(jnp.float32(spec.ncells))
+    row_start = _row_starts(k_s, spec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(spec.rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (6, 1, mc, cap), lambda r, *_: (0, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, mc, cap), lambda r, *_: (r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    posvel, pid4 = pl.pallas_call(
+        functools.partial(_expand_kernel, spec=spec),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((6, spec.rows, mc, cap), jnp.float32),
+            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.int32),
+        ],
+        interpret=interpret,
+    )(row_start, recs)
+
+    new = DenseState(pos=posvel[:3], vel=posvel[3:], pid=pid4)
+    return new, row_start
+
+
+# ----------------------------------------------------- packed <-> dense I/O
+def from_packed(pos: jnp.ndarray, vel: jnp.ndarray, pid: jnp.ndarray,
+                spec: DenseSpec) -> DenseState:
+    """Seed a dense state from packed (N, 3) arrays: park the N particles in
+    the first N flat slots (any cells); a rebuild_dense call sorts them into
+    place. N must be <= spec.slots."""
+    n = pos.shape[0]
+    s = spec.slots
+    if n > s:
+        raise ValueError(f"{n} particles > {s} dense slots")
+
+    def fill(a, fill_val, dtype):
+        flat = jnp.full((s,) + a.shape[1:], fill_val, dtype)
+        return flat.at[:n].set(a.astype(dtype))
+
+    shape = (spec.rows, spec.mc, spec.cap)
+    pos4 = jnp.stack(
+        [fill(pos[:, i], 0.0, jnp.float32).reshape(shape) for i in range(3)]
+    )
+    vel4 = jnp.stack(
+        [fill(vel[:, i], 0.0, jnp.float32).reshape(shape) for i in range(3)]
+    )
+    pid4 = fill(pid, -1, jnp.int32).reshape(shape)
+    return DenseState(pos=pos4, vel=vel4, pid=pid4)
+
+
+def to_packed(state: DenseState, n: int, L: float | None = None):
+    """Host-side extraction (tests/checkpoints only — transfers O(S)):
+    returns (pos (N,3), vel (N,3)) in original-pid order. Pass ``L`` to wrap
+    positions into [0, L) (the engine integrates unwrapped between
+    rebuilds)."""
+    import numpy as np
+
+    pid = np.asarray(state.pid).reshape(-1)
+    keep = pid >= 0
+    assert keep.sum() == n, f"dense state holds {keep.sum()} != {n}"
+    out = []
+    for arr in (state.pos, state.vel):
+        a = np.stack([np.asarray(arr[i]).reshape(-1)[keep] for i in range(3)], -1)
+        dst = np.empty((n, 3), np.float32)
+        dst[pid[keep]] = a
+        out.append(dst)
+    if L is not None:
+        out[0] = np.mod(out[0], np.float32(L))
+    return out[0], out[1]

@@ -1,0 +1,127 @@
+"""Pure-JAX reference implementation of the dense cell-pair sweep.
+
+Mirrors the Pallas kernels' arithmetic exactly (pre-shifted neighbor images
+instead of min-image rounding, identical masking) so kernel-vs-reference
+differential tests are bitwise-meaningful, and serves as the CPU-runnable
+semantics of the dense engine (SURVEY.md §6.2: every fast path has a slow
+twin validated against the O(N^2) oracle)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from md_neighbor_list_tpu.ops.common import lj_force_scalar, lj_potential
+from md_neighbor_list_tpu.ops.dense_cells import DenseSpec, DenseState
+
+OFFSETS27 = [
+    (dz, dy, dx)
+    for dz in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+]
+
+
+def rebuild_reference(state: DenseState, spec: DenseSpec) -> DenseState:
+    """Scatter-based dense rebuild — the slow, obviously-correct twin of
+    ``dense_cells.rebuild_dense``'s sort+expand kernel. Slot assignment:
+    stable-sorted particles of cell c occupy slots (c, 0..len-1); cell
+    overflow drops the tail (detected by the caller's count check). Wraps
+    positions on entry (wrap-at-rebuild-only rule, see rebuild_dense)."""
+    from md_neighbor_list_tpu.ops.dense_cells import cell_keys
+
+    state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
+    s = spec.slots
+    keys = cell_keys(state, spec).reshape(-1)
+    order = jnp.argsort(keys, stable=True)
+    k_s = keys[order]
+    iota = jnp.arange(s, dtype=jnp.int32)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+    first = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, iota, 0))
+    rank = iota - first
+    dst = jnp.where(
+        (k_s < spec.ncells) & (rank < spec.cap),
+        k_s * spec.cap + rank,
+        s,  # dropped by mode="drop"
+    )
+    shape = (spec.rows, spec.mc, spec.cap)
+
+    def place(flat, fill, dtype):
+        out = jnp.full((s,), fill, dtype)
+        return out.at[dst].set(flat[order].astype(dtype), mode="drop").reshape(shape)
+
+    pos = jnp.stack([place(state.pos[i].reshape(-1), 0.0, jnp.float32)
+                     for i in range(3)])
+    vel = jnp.stack([place(state.vel[i].reshape(-1), 0.0, jnp.float32)
+                     for i in range(3)])
+    pid = place(state.pid.reshape(-1), -1, jnp.int32)
+    return DenseState(pos=pos, vel=vel, pid=pid)
+
+
+def _as5d(a: jnp.ndarray, spec: DenseSpec) -> jnp.ndarray:
+    """(R, mc, cap) -> (mcz, mcy, mcx, cap)."""
+    return a.reshape(spec.mc, spec.mc, spec.mc, spec.cap)
+
+
+def _axis_shift(spec: DenseSpec, d: int, axis: int) -> jnp.ndarray:
+    """Periodic image shift for rolled neighbor data: +-L on the wrapped
+    boundary layer, 0 elsewhere; broadcast over (mcz, mcy, mcx, 1)."""
+    mc = spec.mc
+    iota = jnp.arange(mc)
+    s = jnp.float32(spec.L) * ((iota + d) // mc).astype(jnp.float32)
+    shape = [1, 1, 1]
+    shape[axis] = mc
+    return s.reshape(shape + [1])
+
+
+def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
+                    want_forces: bool):
+    """One dense 27-neighborhood sweep.
+
+    want_forces=True: (forces (3, R, mc, cap), pe-per-slot) with the LJ rc
+    cutoff; else: per-slot neighbor counts within ``radius`` (the Verlet
+    rs), for pair-count parity against the oracle."""
+    mc, cap = spec.mc, spec.cap
+    x = [_as5d(state.pos[i], spec) for i in range(3)]
+    valid = _as5d(state.valid(), spec)
+    r2cut = jnp.float32(radius * radius)
+
+    fx = jnp.zeros_like(x[0])
+    fy = jnp.zeros_like(x[0])
+    fz = jnp.zeros_like(x[0])
+    pe = jnp.zeros_like(x[0])
+    cnt = jnp.zeros(x[0].shape, jnp.int32)
+    eye = jnp.eye(cap, dtype=bool)
+
+    for (dz, dy, dx) in OFFSETS27:
+        rolled = [
+            jnp.roll(c, (-dz, -dy, -dx), axis=(0, 1, 2)) for c in x
+        ]
+        vj = jnp.roll(valid, (-dz, -dy, -dx), axis=(0, 1, 2))
+        xj = rolled[0] + _axis_shift(spec, dx, 2)
+        yj = rolled[1] + _axis_shift(spec, dy, 1)
+        zj = rolled[2] + _axis_shift(spec, dz, 0)
+
+        dxv = x[0][..., :, None] - xj[..., None, :]
+        dyv = x[1][..., :, None] - yj[..., None, :]
+        dzv = x[2][..., :, None] - zj[..., None, :]
+        r2 = dxv * dxv + dyv * dyv + dzv * dzv
+        mask = (r2 < r2cut) & vj[..., None, :] & valid[..., :, None]
+        if (dz, dy, dx) == (0, 0, 0):
+            mask &= ~eye
+        if want_forces:
+            f = lj_force_scalar(r2, mask)
+            fx = fx + jnp.sum(f * dxv, axis=-1)
+            fy = fy + jnp.sum(f * dyv, axis=-1)
+            fz = fz + jnp.sum(f * dzv, axis=-1)
+            pe = pe + jnp.sum(lj_potential(r2, mask, radius), axis=-1)
+        else:
+            cnt = cnt + jnp.sum(mask.astype(jnp.int32), axis=-1)
+
+    shape = (spec.rows, spec.mc, spec.cap)
+    if want_forces:
+        force = jnp.stack(
+            [fx.reshape(shape), fy.reshape(shape), fz.reshape(shape)]
+        )
+        return force, pe.reshape(shape)
+    return cnt.reshape(shape)

@@ -122,14 +122,12 @@ def build_neighbor_lists(pos: jnp.ndarray, box: Box, grid: CellGrid,
 
     bins = bin_particles(pos, grid, cell_cap, layout)
     pos_sorted = pos[bins.perm]
-    if backend == "pallas":
-        from md_neighbor_list_tpu.ops.pallas_sweep import sweep_pallas
-
-        idx, cnt = sweep_pallas(pos_sorted, bins, box, grid, radius, k_cap, half)
-    else:
-        idx, cnt = sweep_from_bins(
-            pos_sorted, bins, box, grid, radius, k_cap, half, chunk
-        )
+    # the padded-row sweep is XLA-only; the Pallas performance path lives in
+    # the dense engine (ops/dense_cells.py + ops/pallas_force.py)
+    del backend
+    idx, cnt = sweep_from_bins(
+        pos_sorted, bins, box, grid, radius, k_cap, half, chunk
+    )
     mx = jnp.max(cnt)
     return pos_sorted, NeighborLists(
         idx=idx,

@@ -1,0 +1,185 @@
+"""Dense cell-block engine tests (the M3 path) on CPU.
+
+The jnp reference (dense_ref) is validated against the O(N^2) oracle; the
+Pallas kernels are validated against the jnp reference in interpreter mode
+(bit-compatible arithmetic), closing the chain oracle <-> reference <->
+kernel (SURVEY.md §6.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from md_neighbor_list_tpu.core.box import Box
+from md_neighbor_list_tpu.core.config import MDConfig
+from md_neighbor_list_tpu.core.system import init_lattice
+from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+from md_neighbor_list_tpu.ops import dense_ref, oracle
+from md_neighbor_list_tpu.ops.dense_cells import (from_packed, make_spec,
+                                                  rebuild_dense, to_packed)
+from tests.util import reorder_by_pid
+
+N = 1728  # 12^3 lattice: L = 12, mc = 4, exactly 27 particles/cell < cap 32
+
+
+def _dense_state(key=None, n=N, jitter=0.05):
+    system, box = init_lattice(n, 1.0)
+    pos = np.asarray(system.pos)
+    if key is not None:
+        rng = np.random.default_rng(key)
+        pos = (pos + rng.uniform(-jitter, jitter, pos.shape)) % box.L
+    pos = jnp.asarray(pos, jnp.float32)
+    spec = make_spec(box, 2.8, cap=32)
+    state = from_packed(pos, system.vel, system.pid, spec)
+    state = dense_ref.rebuild_reference(state, spec)
+    return state, spec, box, pos
+
+
+def test_rebuild_reference_invariants():
+    state, spec, box, pos = _dense_state(key=1)
+    pid = np.asarray(state.pid)
+    valid = pid >= 0
+    assert valid.sum() == N
+    assert len(np.unique(pid[valid])) == N
+    # every particle's position is preserved and sits in its keyed cell
+    p, v = to_packed(state, N)
+    np.testing.assert_array_equal(p, np.asarray(pos))
+    R, mc, cap = pid.shape
+    # cell key of each valid slot must equal its slot's cell id
+    from md_neighbor_list_tpu.ops.dense_cells import cell_keys
+
+    keys = np.asarray(cell_keys(state, spec))
+    slot_cell = (
+        (np.arange(R)[:, None, None] * mc)
+        + np.arange(mc)[None, :, None]
+        + np.zeros((1, 1, cap), int)
+    )
+    assert (keys[valid] == slot_cell[valid]).all()
+
+
+def test_expand_kernel_matches_reference():
+    """Pallas sort+expand (interpret mode) == scatter-based reference."""
+    state, spec, box, pos = _dense_state(key=2)
+    got, _ = rebuild_dense(state, spec, True)
+    want = dense_ref.rebuild_reference(state, spec)
+    np.testing.assert_array_equal(np.asarray(got.pid), np.asarray(want.pid))
+    for i in range(3):
+        vm = np.asarray(want.pid) >= 0
+        np.testing.assert_array_equal(
+            np.asarray(got.pos[i])[vm], np.asarray(want.pos[i])[vm]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.vel[i])[vm], np.asarray(want.vel[i])[vm]
+        )
+
+
+def test_dense_counts_match_oracle():
+    """Pair count from the dense sweep == brute-force oracle, lattice
+    (distances far from the rs boundary -> arithmetic-path independent)."""
+    state, spec, box, pos = _dense_state()  # pure lattice
+    cnt = dense_ref.sweep_reference(state, spec, 2.8, want_forces=False)
+    valid = np.asarray(state.pid) >= 0
+    engine_pairs = int(np.asarray(cnt)[valid].sum()) // 2
+    want = int(oracle.pair_count(pos, box, 2.8))
+    assert engine_pairs == want
+
+
+def test_dense_forces_match_oracle():
+    state, spec, box, pos = _dense_state(key=3)
+    force, pe = dense_ref.sweep_reference(state, spec, 2.5, want_forces=True)
+    f_oracle, u_oracle = oracle.forces_energy(pos, box, 2.5)
+    # map dense slots -> pid order
+    pid = np.asarray(state.pid).reshape(-1)
+    keep = pid >= 0
+    f = np.stack([np.asarray(force[i]).reshape(-1)[keep] for i in range(3)], -1)
+    fo = np.empty_like(f)
+    fo[pid[keep]] = f
+    f_oracle = np.asarray(f_oracle)
+    scale = max(np.abs(f_oracle).max(), 1.0)
+    np.testing.assert_allclose(fo, f_oracle, atol=2e-4 * scale)
+    pe_total = 0.5 * float(np.asarray(pe).reshape(-1)[keep].sum())
+    np.testing.assert_allclose(pe_total, float(u_oracle), rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_pallas_kernels_match_reference_interpret():
+    """Force + count kernels (interpret mode) vs the jnp reference."""
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    state, spec, box, pos = _dense_state(key=4)
+    valid = state.valid().astype(jnp.float32)
+    f_k, pe_k = pallas_force.dense_forces(state.pos, valid, spec, 2.5, True)
+    f_r, pe_r = dense_ref.sweep_reference(state, spec, 2.5, want_forces=True)
+    vm = np.asarray(state.pid) >= 0
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(f_k[i])[vm], np.asarray(f_r[i])[vm], rtol=1e-5,
+            atol=1e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(pe_k)[vm], np.asarray(pe_r)[vm], rtol=1e-5, atol=1e-5
+    )
+    c_k, masks = pallas_force.dense_counts(
+        state.pos, valid, spec, 2.8, emit_masks=True, interpret=True
+    )
+    c_r = dense_ref.sweep_reference(state, spec, 2.8, want_forces=False)
+    np.testing.assert_array_equal(np.asarray(c_k)[vm], np.asarray(c_r)[vm])
+    # bitmask popcounts must reproduce the counts
+    m = np.asarray(masks).astype(np.uint32)
+    pop = np.zeros_like(np.asarray(c_k))
+    for o in range(27):
+        pop += np.vectorize(lambda v: bin(v).count("1"))(m[:, o]).astype(np.int32)
+    np.testing.assert_array_equal(pop[vm], np.asarray(c_k)[vm])
+
+
+def test_dense_simulator_nve_jnp():
+    """Full DenseSimulator NVE on the jnp path: energy conservation +
+    rebuilds engaging + force parity with the XLA Simulator."""
+    cfg = MDConfig(n=N, dt=0.001, temperature=0.7)
+    sim = DenseSimulator(cfg, kernel_impl="jnp")
+    carry = sim.init(jax.random.PRNGKey(5))
+    ke0, pe0 = sim.energies(carry)
+    e0 = float(ke0) + float(pe0)
+    carry = sim.run(carry, 400)
+    ke1, pe1 = sim.energies(carry)
+    e1 = float(ke1) + float(pe1)
+    assert abs(e1 - e0) / abs(e0) < 1e-4, (e0, e1)
+    assert int(np.asarray(carry.n_rebuilds)) >= 2
+
+    # cross-engine trajectory check vs the XLA-list Simulator
+    from md_neighbor_list_tpu.models.lj_nve import Simulator
+
+    sim2 = Simulator(cfg)
+    c2 = sim2.run(sim2.init(jax.random.PRNGKey(5)), 400)
+    p_dense, _ = to_packed(carry.state, N, sim.spec.L)
+    p_xla = reorder_by_pid(np.asarray(c2.system.pos),
+                           np.asarray(c2.system.pid))
+    np.testing.assert_allclose(p_dense, p_xla, atol=5e-3)
+
+
+def test_dense_overflow_detection():
+    """Clustered configuration exceeding cap must flip overflow, then build
+    recovers by growing cap."""
+    n = 256
+    box = Box.from_density(n, 1.0)
+    spec_ok = True
+    cfg = MDConfig(n=n, rho=1.0, rc=1.5, skin=0.2)  # mc = 4 at rs 1.7
+    sim = DenseSimulator(cfg, cap=16, kernel_impl="jnp")
+    # all particles into one corner -> cell overflow at cap=8
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.uniform(0, spec_cell(sim), (n, 3)), jnp.float32)
+    from md_neighbor_list_tpu.core.system import System
+
+    system = System(
+        pos=pos, vel=jnp.zeros((n, 3), jnp.float32),
+        force=jnp.zeros((n, 3), jnp.float32),
+        pid=jnp.arange(n, dtype=jnp.int32),
+    )
+    carry = sim.build(system)  # must grow until everything fits
+    assert sim.cap >= 256
+    assert int(np.asarray(carry.state.valid().sum())) == n
+    del box, spec_ok
+
+
+def spec_cell(sim):
+    return sim.spec.cell_size
