@@ -1,122 +1,209 @@
 """Benchmark driver — the R12 equivalent (SURVEY.md §3 R12; BASELINE.md).
 
-Measures, on the default device (the real TPU chip under the driver):
-  1. neighbor-list build time: bin + 27-cell sweep -> padded half list,
-     median of ``--reps`` fenced calls (BASELINE.md row 1);
+Measures on the default device (the real TPU chip under the driver):
+  1. neighbor-list build: sort + dense-expand + count/mask kernels -> the
+     engine's neighbor-list artifact (BASELINE.md row 1), timed as K chained
+     rebuilds inside ONE jitted loop (the remote-TPU tunnel neither honors
+     block_until_ready nor transfers arrays fast, so every timing fences via
+     a device-side scalar reduction fetched to host);
   2. steady-state MD steps/s with skin-amortized rebuilds (row 2).
 
-Prints ONE JSON line on stdout:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
-   "extra": {...}}
-``vs_baseline`` is the speedup of the TPU list build over the in-repo
-AVX-512 CPU baseline (baseline_cpp/baseline.json — the honest stand-in for
-the reference's AVX-512 path, which cannot be run here; BASELINE.md note).
-All diagnostics go to stderr.
+Prints ONE JSON line on stdout; diagnostics go to stderr. ``vs_baseline`` is
+the speedup of the list build over the in-repo AVX-512 CPU baseline
+(baseline_cpp/baseline.json — the honest stand-in for the reference's
+AVX-512 path, which cannot be run here; BASELINE.md note).
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import pathlib
 import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def fetch_scalar(x) -> float:
+    """Host fetch of a device scalar — the only reliable fence here."""
+    return float(np.asarray(x))
+
+
+def bench_pallas(cfg, args):
+    from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+    from md_neighbor_list_tpu.ops.dense_cells import rebuild_dense
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    sim = DenseSimulator(cfg, kernel_impl=impl)
+    spec = sim.spec
+    log(f"dense spec: mc={spec.mc} cap={spec.cap} slots={spec.slots} "
+        f"impl={impl}")
+
+    t0 = time.time()
+    carry = sim.init(jax.random.PRNGKey(0))
+    fetch_scalar(carry.n_rebuilds)
+    log(f"init + first build + compile: {time.time() - t0:.1f}s")
+
+    # ---- list build: K chained rebuild+count passes in one jit ----------
+    reps = args.reps
+
+    @jax.jit
+    def chained_builds(state):
+        def body(i, acc_state):
+            acc, st = acc_state
+            # micro-perturb one coordinate so no two iterations are
+            # byte-identical (defeats any result memoization in the tunnel)
+            st = st._replace(
+                pos=st.pos + (i % 2).astype(jnp.float32) * 1e-6
+            )
+            if impl == "jnp":
+                from md_neighbor_list_tpu.ops import dense_ref
+
+                st2 = dense_ref.rebuild_reference(st, spec)
+                counts = dense_ref.sweep_reference(
+                    st2, spec, cfg.rs, want_forces=False
+                )
+            else:
+                st2, _ = rebuild_dense(st, spec, False)
+                counts, _ = pallas_force.dense_counts(
+                    st2.pos, st2.valid().astype(jnp.float32), spec, cfg.rs,
+                    emit_masks=(spec.cap == 32), interpret=False,
+                )
+            return acc + jnp.sum(counts), st2
+        acc, st = jax.lax.fori_loop(
+            0, reps, body, (jnp.zeros((), jnp.int32), state)
+        )
+        return acc
+
+    fetch_scalar(chained_builds(carry.state))  # compile + warm
+    t0 = time.perf_counter()
+    total_cnt = fetch_scalar(chained_builds(carry.state))
+    build_ms = (time.perf_counter() - t0) * 1e3 / reps
+    pairs = int(total_cnt) // (2 * reps)
+    log(f"list build: {build_ms:.2f} ms/build over {reps} chained builds "
+        f"({pairs} pairs)")
+
+    # ---- steps/s ---------------------------------------------------------
+    reducer = jax.jit(
+        lambda c: jnp.sum(c.state.vel) + c.n_rebuilds.astype(jnp.float32)
+    )
+    # fixed device-side chunk so the timed window reuses the warmup's
+    # compiled executable (a different static chunk length would recompile)
+    chunk = args.chunk
+    carry = sim.run(carry, chunk, chunk=chunk)
+    fetch_scalar(reducer(carry))
+    t0 = time.perf_counter()
+    carry = sim.run(carry, args.steps, chunk=chunk)
+    fetch_scalar(reducer(carry))
+    elapsed = time.perf_counter() - t0
+    steps_per_s = args.steps / elapsed
+    rebuilds = int(fetch_scalar(carry.n_rebuilds))
+    log(f"steps/s: {steps_per_s:.2f} ({args.steps} steps in {elapsed:.2f}s, "
+        f"{rebuilds} total rebuilds)")
+    return build_ms, steps_per_s, pairs, {"cap": spec.cap, "mc": spec.mc}
+
+
+def bench_xla(cfg, args):
+    from md_neighbor_list_tpu.models.lj_nve import Simulator
+
+    sim = Simulator(cfg)
+    carry = sim.init(jax.random.PRNGKey(0))
+    build = sim._rebuild_only
+
+    @jax.jit
+    def chained(system):
+        def body(i, acc):
+            c = build(system)
+            return acc + c.nbr.max_count
+        return jax.lax.fori_loop(0, args.reps, body, jnp.zeros((), jnp.int32))
+
+    fetch_scalar(chained(carry.system))
+    t0 = time.perf_counter()
+    fetch_scalar(chained(carry.system))
+    build_ms = (time.perf_counter() - t0) * 1e3 / args.reps
+
+    reducer = jax.jit(lambda c: jnp.sum(c.system.vel))
+    chunk = args.chunk
+    carry = sim.run(carry, chunk, chunk=chunk)
+    fetch_scalar(reducer(carry))
+    t0 = time.perf_counter()
+    carry = sim.run(carry, args.steps, chunk=chunk)
+    fetch_scalar(reducer(carry))
+    steps_per_s = args.steps / (time.perf_counter() - t0)
+    log(f"xla: build {build_ms:.2f} ms, {steps_per_s:.2f} steps/s")
+    return build_ms, steps_per_s, None, {"K": sim.capacity.neighbors}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="c4_sorted",
-                    help="config preset name (see core/config.py)")
-    ap.add_argument("--n", type=int, default=None, help="override N")
-    ap.add_argument("--steps", type=int, default=200,
-                    help="timed MD steps (after warmup)")
-    ap.add_argument("--warmup-steps", type=int, default=50)
-    ap.add_argument("--reps", type=int, default=10,
-                    help="list-build timing repetitions")
-    ap.add_argument("--backend", default=None,
-                    help="override sweep backend: xla|pallas")
+    ap.add_argument("--preset", default="c4_sorted")
+    ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--warmup-steps", type=int, default=30)
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="device-side steps per jitted chunk")
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the step loop")
     args = ap.parse_args()
 
-    import dataclasses
-
     from md_neighbor_list_tpu.core.config import PRESETS
-    from md_neighbor_list_tpu.models.lj_nve import Simulator
 
     cfg = PRESETS[args.preset]
     if args.n is not None:
         cfg = dataclasses.replace(cfg, n=args.n)
-    if args.backend is not None:
-        cfg = dataclasses.replace(cfg, backend=args.backend)
 
     dev = jax.devices()[0]
-    log(f"device: {dev} | config: {cfg}")
+    log(f"device: {dev} | engine: {args.engine} | config: {cfg}")
 
-    sim = Simulator(cfg)
-    log(f"grid mc={sim.grid.mc} capacity={sim.capacity} backend={sim.backend}")
+    if args.profile:
+        import contextlib
 
-    t0 = time.time()
-    carry = sim.init(jax.random.PRNGKey(0))
-    jax.block_until_ready(carry.system.pos)
-    log(f"init + first build + compile: {time.time() - t0:.1f}s "
-        f"(max_count={int(carry.nbr.max_count)}, "
-        f"cell_max={int(carry.nbr.cell_max)})")
+        prof = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
 
-    # --- list build timing (bin + sweep, fenced) -------------------------
-    system = carry.system
-    build = sim._rebuild_only
-    jax.block_until_ready(build(system).nbr.idx)  # warmup/compile
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        out = build(system)
-        jax.block_until_ready(out.nbr.idx)
-        times.append((time.perf_counter() - t0) * 1e3)
-    build_ms = float(np.median(times))
-    log(f"list build ms: median={build_ms:.2f} all={[f'{t:.1f}' for t in times]}")
+        prof = contextlib.nullcontext()
 
-    # --- MD steps/s (skin-amortized rebuilds) ----------------------------
-    carry = sim.run(carry, args.warmup_steps)
-    jax.block_until_ready(carry.system.pos)
-    t0 = time.perf_counter()
-    carry = sim.run(carry, args.steps)
-    jax.block_until_ready(carry.system.pos)
-    elapsed = time.perf_counter() - t0
-    steps_per_s = args.steps / elapsed
-    rebuilds = int(carry.nbr.n_rebuilds)
-    log(f"steps/s: {steps_per_s:.2f} ({args.steps} steps in {elapsed:.2f}s, "
-        f"{rebuilds} total rebuilds)")
+    with prof:
+        if args.engine == "pallas":
+            build_ms, steps_per_s, pairs, extra = bench_pallas(cfg, args)
+        else:
+            build_ms, steps_per_s, pairs, extra = bench_xla(cfg, args)
 
-    # --- baseline comparison --------------------------------------------
     base_path = pathlib.Path(__file__).parent / "baseline_cpp" / "baseline.json"
-    vs = float("nan")
+    vs = None
     base = None
     if base_path.exists():
         base = json.loads(base_path.read_text())
-        if cfg.n == base.get("n"):
-            vs = base["build_ms"] / build_ms
-        else:
-            # scale linearly in N for off-headline runs (diagnostic only)
-            vs = base["build_ms"] * (cfg.n / base["n"]) / build_ms
+        scale = cfg.n / base["n"]  # linear-in-N extrapolation off-headline
+        vs = round(base["build_ms"] * scale / build_ms, 3)
 
     result = {
         "metric": f"neighbor_list_build_ms_n{cfg.n}",
         "value": round(build_ms, 3),
         "unit": "ms",
-        "vs_baseline": None if np.isnan(vs) else round(vs, 3),
+        "vs_baseline": vs,
         "extra": {
             "steps_per_sec": round(steps_per_s, 3),
+            "engine": args.engine,
             "n": cfg.n,
-            "backend": sim.backend,
+            "pairs": pairs,
             "device": str(dev),
-            "neighbor_capacity": sim.capacity.neighbors,
             "cpu_baseline": base,
+            **extra,
         },
     }
     print(json.dumps(result), flush=True)
