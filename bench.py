@@ -78,7 +78,7 @@ def bench_pallas(cfg, args):
                 st2, _ = rebuild_dense(st, spec, False)
                 counts, _ = pallas_force.dense_counts(
                     st2.pos, st2.valid().astype(jnp.float32), spec, cfg.rs,
-                    emit_masks=(spec.cap == 32), interpret=False,
+                    emit_masks=(spec.cap <= 32), interpret=False,
                 )
             return acc + jnp.sum(counts), st2
         acc, st = jax.lax.fori_loop(

@@ -53,7 +53,7 @@ class DenseSimulator:
     """LJ/NVE on the dense cell layout. kernel_impl: 'pallas' (TPU),
     'interpret' (Pallas interpreter), or 'jnp' (dense_ref, CPU tests)."""
 
-    def __init__(self, config: MDConfig, cap: int = 32,
+    def __init__(self, config: MDConfig, cap: int = 40,
                  kernel_impl: str | None = None):
         self.config = config
         self.box = Box.from_density(config.n, config.rho)
@@ -167,7 +167,7 @@ class DenseSimulator:
             else:
                 counts, masks = pallas_force.dense_counts(
                     new.pos, valid, spec, cfg.rs,
-                    emit_masks=(spec.cap == 32), interpret=interp,
+                    emit_masks=(spec.cap <= 32), interpret=interp,
                 )
             return new, counts, masks
 

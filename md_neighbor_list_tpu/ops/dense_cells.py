@@ -64,8 +64,14 @@ class DenseSpec:
         return self.ncells * self.cap
 
     @property
-    def row_window(self) -> int:  # W: sorted-stream window covering one row
-        return self.mc * self.cap
+    def row_window(self) -> int:
+        """W: sorted-stream window covering one row of cells, padded so the
+        HBM->VMEM DMA slice is 128-lane aligned (Mosaic requirement) with
+        room for a 128-aligned start (the true row start is rounded down to
+        a 128 boundary; leading strangers belong to earlier rows and fall
+        out of the key-count offsets naturally)."""
+        w = self.mc * self.cap
+        return ((w + 127) // 128) * 128 + 128
 
 
 def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
@@ -118,7 +124,7 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, spec: DenseSpec):
     r = pl.program_id(0)
 
     def body(win, sem):
-        start = row_start_ref[r]
+        start = (row_start_ref[r] // 128) * 128  # 128-aligned DMA start
         copy = pltpu.make_async_copy(
             recs_hbm.at[:, pl.ds(start, W)], win, sem
         )
