@@ -39,7 +39,6 @@ from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
 class DenseCarry(NamedTuple):
     state: DenseState
     force: jnp.ndarray  # (3, R, mc, cap)
-    pe_slots: jnp.ndarray  # (R, mc, cap) per-slot potential (x2 counted)
     ref_pos: jnp.ndarray  # (3, R, mc, cap)
     n_rebuilds: jnp.ndarray  # () i32
     overflow: jnp.ndarray  # () bool (sticky)
@@ -73,14 +72,14 @@ class DenseSimulator:
         n = cfg.n
         fL = jnp.float32(spec.L)
 
-        def forces(state: DenseState):
+        def forces(state: DenseState, want_pe: bool = False):
             if impl == "jnp":
                 return dense_ref.sweep_reference(
                     state, spec, cfg.rc, want_forces=True
                 )
             valid = state.valid().astype(jnp.float32)
             return pallas_force.dense_forces(
-                state.pos, valid, spec, cfg.rc, interp
+                state.pos, valid, spec, cfg.rc, interp, want_pe
             )
 
         def do_rebuild(carry: DenseCarry) -> DenseCarry:
@@ -116,10 +115,10 @@ class DenseSimulator:
                 need = jnp.bool_(True)
             carry = lax.cond(need, do_rebuild, lambda c: c, carry)
 
-            force, pe = forces(carry.state)
+            force, _ = forces(carry.state)
             vel = carry.state.vel + 0.5 * dt * force
             state = carry.state._replace(vel=vel)
-            return carry._replace(state=state, force=force, pe_slots=pe), None
+            return carry._replace(state=state, force=force), None
 
         @functools.partial(jax.jit, static_argnums=1)
         def run_chunk(carry: DenseCarry, nsteps: int) -> DenseCarry:
@@ -132,14 +131,13 @@ class DenseSimulator:
             carry = DenseCarry(
                 state=state,
                 force=zero,
-                pe_slots=jnp.zeros_like(state.pid, jnp.float32),
                 ref_pos=state.pos,
                 n_rebuilds=jnp.zeros((), jnp.int32),
                 overflow=jnp.zeros((), bool),
             )
             carry = do_rebuild(carry)
-            force, pe = forces(carry.state)
-            return carry._replace(force=force, pe_slots=pe)
+            force, _ = forces(carry.state)
+            return carry._replace(force=force)
 
         @jax.jit
         def energies(carry: DenseCarry):
@@ -147,7 +145,8 @@ class DenseSimulator:
             ke = 0.5 * jnp.sum(
                 jnp.where(v[None], carry.state.vel, 0.0) ** 2
             )
-            pe = 0.5 * jnp.sum(jnp.where(v, carry.pe_slots, 0.0))
+            _, pe_slots = forces(carry.state, want_pe=True)
+            pe = 0.5 * jnp.sum(jnp.where(v, pe_slots, 0.0))
             return ke, pe
 
         @jax.jit

@@ -44,19 +44,35 @@ def mask_words(cap: int) -> int:
 
 def make_windows(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
                  spec: DenseSpec) -> jnp.ndarray:
-    """(4, R, mc, 3cap) candidate windows: channels x, y, z, valid; lane
-    segments [dx=-1 | dx=0 | dx=+1] with x-periodic image shifts applied."""
-    mc, cap, L = spec.mc, spec.cap, spec.L
-    w4 = jnp.concatenate([pos4, valid_f32[None]], axis=0)  # (4, R, mc, cap)
+    """(R, 3, mc, 3cap) candidate windows: channels x, y, z; lane segments
+    [dx=-1 | dx=0 | dx=+1] with x-periodic image shifts applied.
 
-    left = jnp.roll(w4, 1, axis=2)  # cell ix holds ix-1's data
-    right = jnp.roll(w4, -1, axis=2)
+    Slot validity is folded into GEOMETRY: every invalid slot is parked at a
+    far position, spaced 2*cell_size apart along the park line (all three
+    components share the value, so consecutive parked slots sit sqrt(3)*2*
+    cell apart — beyond every cutoff: no padding pair can ever hit, no two
+    parked slots coincide, so forces/counts on invalid rows are exactly
+    zero with no NaN hazard). This removes all validity-mask arithmetic
+    from the kernels: ~4 fewer VPU ops per pair eval and 25% less fetch on
+    a VPU-peak-bound kernel."""
+    mc, cap, L = spec.mc, spec.cap, spec.L
+    slot_id = jnp.arange(spec.slots, dtype=jnp.float32).reshape(
+        spec.rows, mc, cap
+    )
+    park = 1.0e5 + slot_id * jnp.float32(2.0 * spec.cell_size)
+    w3 = jnp.where(valid_f32[None] > 0.5, pos4, park[None])  # (3, R, mc, cap)
+
+    left = jnp.roll(w3, 1, axis=2)  # cell ix holds ix-1's data
+    right = jnp.roll(w3, -1, axis=2)
     xcell = jnp.arange(mc)
     sh_m = jnp.where(xcell == 0, -L, 0.0).astype(jnp.float32)[None, :, None]
     sh_p = jnp.where(xcell == mc - 1, L, 0.0).astype(jnp.float32)[None, :, None]
     left = left.at[0].add(sh_m)  # shift only the x channel
     right = right.at[0].add(sh_p)
-    return jnp.concatenate([left, w4, right], axis=-1)  # (4, R, mc, 3cap)
+    out = jnp.concatenate([left, w3, right], axis=-1)  # (3, R, mc, 3cap)
+    # row-major channel layout: each per-row block fetch is ONE contiguous
+    # HBM run (channel-leading layout costs strided DMA segments per fetch)
+    return jnp.transpose(out, (1, 0, 2, 3))  # (R, 3, mc, 3cap)
 
 
 def _win_specs(spec: DenseSpec):
@@ -64,20 +80,40 @@ def _win_specs(spec: DenseSpec):
     The neighbor row follows the k-th (dz, dy) offset with periodic wrap;
     the own row ignores k so Pallas leaves it resident across k."""
     mc = spec.mc
-    shape = (4, 1, mc, 3 * spec.cap)
+    shape = (1, 3, mc, 3 * spec.cap)
 
     def nbr_map(z, y, k):
         dz = k // 3 - 1
         dy = k % 3 - 1
-        return (0, ((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0)
+        return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
 
     def own_map(z, y, k):
-        return (0, z * mc + y, 0, 0)
+        return (z * mc + y, 0, 0, 0)
 
     return (
         pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM),
     )
+
+
+def _win_specs3(spec: DenseSpec):
+    """Specs for the merged grid (z, y, kdz): three dy = -1/0/+1 neighbor
+    rows per program plus the own row. 3x fewer programs than the
+    one-offset-per-program grid — per-program launch overhead (~2 us) was
+    43% of the force step at N=1M."""
+    mc = spec.mc
+    shape = (1, 3, mc, 3 * spec.cap)
+    specs = []
+    for dy in (-1, 0, 1):
+        def nbr_map(z, y, kdz, dy=dy):
+            return (((z + kdz - 1) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
+        specs.append(pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM))
+
+    def own_map(z, y, kdz):
+        return (z * mc + y, 0, 0, 0)
+
+    specs.append(pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM))
+    return specs
 
 
 def _not_self(spec: DenseSpec):
@@ -90,9 +126,50 @@ def _not_self(spec: DenseSpec):
     return ((lane - cap) != slot).astype(jnp.float32)
 
 
-def _pair_mask_r2(win_ref, own_ref, spec: DenseSpec, r2cut):
-    """Shared geometry: (r2, mask, dxv, dyv, dzv) for the current program's
-    (z, y, k) cell-row x neighbor-offset tile."""
+_PENALTY = 1.0e10  # pushes invalid/self pairs far beyond any cutoff
+
+
+def _pair_r2p_dy(nbr_ref, own_ref, dy: int, spec: DenseSpec):
+    """Geometry for one static-dy neighbor row on the merged (z, y, kdz)
+    grid: returns (r2p, dxv, dyv, dzv) with validity/self folded into the
+    distance penalty (see _pair_r2p)."""
+    mc, cap = spec.mc, spec.cap
+    z = pl.program_id(0)
+    y = pl.program_id(1)
+    kdz = pl.program_id(2)
+    dz = kdz - 1
+    fL = jnp.float32(spec.L)
+    zsh = jnp.where(z + dz >= mc, fL, jnp.where(z + dz < 0, -fL, 0.0))
+    ysh = jnp.where(y + dy >= mc, fL, jnp.where(y + dy < 0, -fL, 0.0))
+
+    xi = own_ref[0, 0, :, cap : 2 * cap][:, :, None]
+    yi = own_ref[0, 1, :, cap : 2 * cap][:, :, None]
+    zi = own_ref[0, 2, :, cap : 2 * cap][:, :, None]
+
+    xj = nbr_ref[0, 0][:, None, :]
+    yj = nbr_ref[0, 1][:, None, :] + ysh
+    zj = nbr_ref[0, 2][:, None, :] + zsh
+
+    dxv = xi - xj
+    dyv = yi - yj
+    dzv = zi - zj
+    r2p = dxv * dxv + dyv * dyv + dzv * dzv
+    if dy == 0:
+        # the self-pair (r2 = 0) is the only exclusion geometry can't carry:
+        # add a big constant on the center-offset diagonal
+        r2p = r2p + jnp.where(
+            kdz == 1, (1.0 - _not_self(spec)) * jnp.float32(_PENALTY), 0.0
+        )
+    return r2p, dxv, dyv, dzv
+
+
+def _pair_r2p(win_ref, own_ref, spec: DenseSpec):
+    """Shared geometry for the (z, y, k) tile: returns (r2p, dxv, dyv, dzv)
+    where r2p = |dr|^2 + penalty. The penalty ((1 - vi*vj[*notself]) * 1e10)
+    folds slot validity AND self-exclusion into the distance itself, so a
+    single cutoff comparison replaces the mask/select chain — for real pairs
+    the added 0.0 is exact, so cutoff decisions match the reference
+    bit-for-bit."""
     mc, cap = spec.mc, spec.cap
     z = pl.program_id(0)
     y = pl.program_id(1)
@@ -104,67 +181,79 @@ def _pair_mask_r2(win_ref, own_ref, spec: DenseSpec, r2cut):
     ysh = jnp.where(y + dy >= mc, fL, jnp.where(y + dy < 0, -fL, 0.0))
 
     xi = own_ref[0, 0, :, cap : 2 * cap][:, :, None]  # (mc, cap, 1)
-    yi = own_ref[1, 0, :, cap : 2 * cap][:, :, None]
-    zi = own_ref[2, 0, :, cap : 2 * cap][:, :, None]
-    vi = own_ref[3, 0, :, cap : 2 * cap][:, :, None]
+    yi = own_ref[0, 1, :, cap : 2 * cap][:, :, None]
+    zi = own_ref[0, 2, :, cap : 2 * cap][:, :, None]
 
     xj = win_ref[0, 0][:, None, :]  # (mc, 1, 3cap)
-    yj = win_ref[1, 0][:, None, :] + ysh
-    zj = win_ref[2, 0][:, None, :] + zsh
-    vj = win_ref[3, 0][:, None, :]
+    yj = win_ref[0, 1][:, None, :] + ysh
+    zj = win_ref[0, 2][:, None, :] + zsh
 
     dxv = xi - xj  # (mc, cap, 3cap)
     dyv = yi - yj
     dzv = zi - zj
-    r2 = dxv * dxv + dyv * dyv + dzv * dzv
-    vv = vi * vj
-    # center offset (k == 4): exclude the self diagonal
-    vv = vv * jnp.where(k == 4, _not_self(spec), 1.0)
-    mask = (r2 < r2cut) & (vv > 0.5)
-    return r2, mask, dxv, dyv, dzv
-
-
-def _force_kernel(win_ref, own_ref, fx_ref, fy_ref, fz_ref, pe_ref, *,
-                  spec: DenseSpec, rc: float):
-    k = pl.program_id(2)
-    r2, mask, dxv, dyv, dzv = _pair_mask_r2(
-        win_ref, own_ref, spec, jnp.float32(rc * rc)
+    r2p = dxv * dxv + dyv * dyv + dzv * dzv
+    r2p = r2p + jnp.where(
+        k == 4, (1.0 - _not_self(spec)) * jnp.float32(_PENALTY), 0.0
     )
+    return r2p, dxv, dyv, dzv
+
+
+def _force_kernel(nm1_ref, n0_ref, np1_ref, own_ref, fx_ref, fy_ref, fz_ref,
+                  *extra, spec: DenseSpec, rc: float, want_pe: bool):
+    pe_ref = extra[0] if want_pe else None
+    kdz = pl.program_id(2)
+    r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
     ushift = 4.0 * (s6c * s6c - s6c)
 
-    # LJ force magnitude / |dr| — same formula as ops.common (R10)
-    safe = jnp.where(mask, r2, 1.0)
-    s2 = 1.0 / safe
-    s6 = s2 * s2 * s2
-    f = jnp.where(mask, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
-    u = jnp.where(mask, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
-
-    @pl.when(k == 0)
+    @pl.when(kdz == 0)
     def _():
         fx_ref[0] = jnp.zeros_like(fx_ref[0])
         fy_ref[0] = jnp.zeros_like(fy_ref[0])
         fz_ref[0] = jnp.zeros_like(fz_ref[0])
-        pe_ref[0] = jnp.zeros_like(pe_ref[0])
+        if want_pe:
+            pe_ref[0] = jnp.zeros_like(pe_ref[0])
 
-    fx_ref[0] += jnp.sum(f * dxv, axis=-1)
-    fy_ref[0] += jnp.sum(f * dyv, axis=-1)
-    fz_ref[0] += jnp.sum(f * dzv, axis=-1)
-    pe_ref[0] += jnp.sum(u, axis=-1)
+    for nbr_ref, dy in ((nm1_ref, -1), (n0_ref, 0), (np1_ref, 1)):
+        r2p, dxv, dyv, dzv = _pair_r2p_dy(nbr_ref, own_ref, dy, spec)
+        hit = r2p < r2cut
+        # LJ force magnitude / |dr| — formula of ops.common (R10). Hot path:
+        # hardware approximate reciprocal + one Newton step (~1e-5 relative,
+        # far below the fp32 force-parity tolerance; the exact f32 divide is
+        # the single most expensive VPU op here). Cutoff decisions use r2p
+        # directly, so pair membership stays bit-exact. The diagnostics
+        # variant (want_pe) keeps the exact divide so measured energies are
+        # reference-exact.
+        if want_pe:
+            s2 = 1.0 / r2p
+        else:
+            s2 = pl.reciprocal(r2p, approx=True)
+            s2 = s2 * (2.0 - r2p * s2)
+        s6 = s2 * s2 * s2
+        f = jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
+        fx_ref[0] += jnp.sum(f * dxv, axis=-1)
+        fy_ref[0] += jnp.sum(f * dyv, axis=-1)
+        fz_ref[0] += jnp.sum(f * dzv, axis=-1)
+        if want_pe:
+            u = jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
+            pe_ref[0] += jnp.sum(u, axis=-1)
 
 
-def _count_kernel(win_ref, own_ref, cnt_ref, *, spec: DenseSpec,
-                  radius: float):
-    k = pl.program_id(2)
-    _, mask, _, _, _ = _pair_mask_r2(
-        win_ref, own_ref, spec, jnp.float32(radius * radius)
-    )
+def _count_kernel(nm1_ref, n0_ref, np1_ref, own_ref, cnt_ref, *,
+                  spec: DenseSpec, radius: float):
+    kdz = pl.program_id(2)
+    r2cut = jnp.float32(radius * radius)
 
-    @pl.when(k == 0)
+    @pl.when(kdz == 0)
     def _():
         cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
 
-    cnt_ref[0] += jnp.sum(mask.astype(jnp.int32), axis=-1)
+    # accumulate in f32 (exact for counts < 2^24; i32 vector ops are slower
+    # on the VPU), convert at the final consumer
+    for nbr_ref, dy in ((nm1_ref, -1), (n0_ref, 0), (np1_ref, 1)):
+        r2p, _, _, _ = _pair_r2p_dy(nbr_ref, own_ref, dy, spec)
+        hit = r2p < r2cut
+        cnt_ref[0] += jnp.where(hit, 1.0, 0.0).sum(axis=-1)
 
 
 def _mask_kernel(win_ref, own_ref, mask_ref, *, spec: DenseSpec,
@@ -174,9 +263,8 @@ def _mask_kernel(win_ref, own_ref, mask_ref, *, spec: DenseSpec,
     k-revisited accumulator output with k-varying outputs in one kernel
     crashes the Mosaic compiler."""
     cap = spec.cap
-    _, mask, _, _, _ = _pair_mask_r2(
-        win_ref, own_ref, spec, jnp.float32(radius * radius)
-    )
+    r2p, _, _, _ = _pair_r2p(win_ref, own_ref, spec)
+    mask = r2p < jnp.float32(radius * radius)
     words = mask_words(cap)
     slot_in_cell = jnp.mod(
         jax.lax.broadcasted_iota(jnp.int32, (1, cap, 3 * cap), 2), cap
@@ -193,33 +281,37 @@ def _mask_kernel(win_ref, own_ref, mask_ref, *, spec: DenseSpec,
             mask_ref[0, seg * words + w] = word
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def dense_forces(pos4: jnp.ndarray, valid_f32: jnp.ndarray, spec: DenseSpec,
-                 rc: float, interpret: bool = False):
-    """LJ forces (3, R, mc, cap) + per-slot shifted potential (R, mc, cap).
+                 rc: float, interpret: bool = False, want_pe: bool = True):
+    """LJ forces (3, R, mc, cap) and, when ``want_pe``, the per-slot shifted
+    potential (R, mc, cap) — else None. The hot step loop skips PE (~15%
+    fewer VPU ops); diagnostics request it.
 
     Total PE = 0.5 * sum(pe * valid) (full symmetric accumulation counts
     each pair twice — the zero-scatter trade anticipated in SURVEY.md §9)."""
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
+    nout = 4 if want_pe else 3
     shapes = [
         jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32)
-        for _ in range(4)
+        for _ in range(nout)
     ]
     specs = [
         pl.BlockSpec((1, mc, cap), lambda z, y, k: (z * mc + y, 0, 0),
                      memory_space=pltpu.VMEM)
-        for _ in range(4)
+        for _ in range(nout)
     ]
-    fx, fy, fz, pe = pl.pallas_call(
-        functools.partial(_force_kernel, spec=spec, rc=rc),
-        grid=(mc, mc, 9),
-        in_specs=list(_win_specs(spec)),
+    out = pl.pallas_call(
+        functools.partial(_force_kernel, spec=spec, rc=rc, want_pe=want_pe),
+        grid=(mc, mc, 3),
+        in_specs=_win_specs3(spec),
         out_specs=specs,
         out_shape=shapes,
         interpret=interpret,
-    )(windows, windows)
-    return jnp.stack([fx, fy, fz]), pe
+    )(windows, windows, windows, windows)
+    force = jnp.stack(out[:3])
+    return force, (out[3] if want_pe else None)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -233,14 +325,14 @@ def dense_counts(pos4: jnp.ndarray, valid_f32: jnp.ndarray, spec: DenseSpec,
     windows = make_windows(pos4, valid_f32, spec)
     counts = pl.pallas_call(
         functools.partial(_count_kernel, spec=spec, radius=radius),
-        grid=(mc, mc, 9),
-        in_specs=list(_win_specs(spec)),
+        grid=(mc, mc, 3),
+        in_specs=_win_specs3(spec),
         out_specs=pl.BlockSpec((1, mc, cap),
                                lambda z, y, k: (z * mc + y, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
         interpret=interpret,
-    )(windows, windows)
+    )(windows, windows, windows, windows).astype(jnp.int32)
     if not emit_masks or cap > 32:
         # words>1 mask packing crashes the Mosaic compiler (SIGABRT) on this
         # toolchain; the dense structure + counts remain the list artifact,

@@ -111,6 +111,7 @@ def test_pallas_kernels_match_reference_interpret():
     f_k, pe_k = pallas_force.dense_forces(state.pos, valid, spec, 2.5, True)
     f_r, pe_r = dense_ref.sweep_reference(state, spec, 2.5, want_forces=True)
     vm = np.asarray(state.pid) >= 0
+    # want_pe variant keeps the exact divide -> reference-exact tolerances
     for i in range(3):
         np.testing.assert_allclose(
             np.asarray(f_k[i])[vm], np.asarray(f_r[i])[vm], rtol=1e-5,
@@ -119,6 +120,14 @@ def test_pallas_kernels_match_reference_interpret():
     np.testing.assert_allclose(
         np.asarray(pe_k)[vm], np.asarray(pe_r)[vm], rtol=1e-5, atol=1e-5
     )
+    # hot-path variant (approx reciprocal + Newton): loose force tolerance
+    f_h, _ = pallas_force.dense_forces(state.pos, valid, spec, 2.5, True,
+                                       False)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(f_h[i])[vm], np.asarray(f_r[i])[vm], rtol=1e-4,
+            atol=5e-3,
+        )
     c_k, masks = pallas_force.dense_counts(
         state.pos, valid, spec, 2.8, emit_masks=True, interpret=True
     )
