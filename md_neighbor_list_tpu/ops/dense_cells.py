@@ -112,86 +112,99 @@ def cell_keys(state: DenseState, spec: DenseSpec) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------ expand kernel
-def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, spec: DenseSpec):
+def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
+                   spec: DenseSpec):
     """Per (z, y) row: DMA the sorted-record window for this row's cells and
     redistribute each cell's run to its fixed cap-stride slots.
 
     The redistribution out[c*cap + s] = window[off_c + s] is a per-sublane
-    variable ROLL (shift_c = c*cap - off_c >= 0), realized as log2(W)
-    conditional power-of-two rolls — the TPU answer to the counting-sort
-    scatter (SURVEY.md §9 "Compaction on TPU", applied to binning)."""
+    variable ROLL, realized as log2(W) conditional power-of-two rolls — the
+    TPU answer to the counting-sort scatter (SURVEY.md §9 "Compaction on
+    TPU", applied to binning). The window DMA is double-buffered across
+    consecutive grid programs (persistent scratch), and slot validity comes
+    from per-cell run LENGTHS (slot < len_c) so only the 7 payload channels
+    are redistributed, not the key channel."""
     mc, cap, W = spec.mc, spec.cap, spec.row_window
     r = pl.program_id(0)
+    nrows = pl.num_programs(0)
+    slot = jax.lax.rem(r, 2)
 
-    def body(win, sem):
-        start = (row_start_ref[r] // 128) * 128  # 128-aligned DMA start
-        copy = pltpu.make_async_copy(
-            recs_hbm.at[:, pl.ds(start, W)], win, sem
+    def dma(row, buf):
+        start = (row_start_ref[row] // 128) * 128  # 128-aligned DMA start
+        return pltpu.make_async_copy(
+            recs_hbm.at[:, pl.ds(start, W)], win2.at[buf], sems.at[buf]
         )
-        copy.start()
-        copy.wait()
 
-        keys = win[7:8, :]  # (1, W) f32-encoded cell keys
-        # per-cell start offsets within the window: off[c] = #keys < cell_id
-        cell_ids = (
-            r * mc + jax.lax.broadcasted_iota(jnp.int32, (mc, 1), 0)
-        ).astype(jnp.float32)
-        less = (keys < cell_ids).astype(jnp.int32)  # (mc, W)
-        off = jnp.sum(less, axis=1, keepdims=True)  # (mc, 1)
-        # left-roll row c by off[c] so its cell's run starts at lane 0;
-        # expressed as a cyclic right-roll by (W - off) decomposed in bits
-        shift = jnp.mod(W - off, W)
+    @pl.when(r == 0)
+    def _():
+        dma(0, 0).start()
 
-        def redistribute(plane):  # (1, W) -> (mc, cap)
-            rep = jnp.broadcast_to(plane, (mc, W))
-            b = 1
-            while b < W:
-                rolled = pltpu.roll(rep, b, axis=1)
-                rep = jnp.where((shift & b) != 0, rolled, rep)
-                b <<= 1
-            return rep[:, :cap]
+    @pl.when(r + 1 < nrows)
+    def _():
+        dma(r + 1, jax.lax.rem(r + 1, 2)).start()
 
-        # validity: slot s of cell c holds a particle iff off[c] + s is
-        # inside this cell's run (its key equals the cell id).
-        key_dense = redistribute(keys)  # (mc, cap)
-        cid = cell_ids  # (mc, 1) f32
-        slot_valid = key_dense == cid
+    dma(r, slot).wait()
 
-        for comp in range(6):  # x, y, z, vx, vy, vz
-            d = redistribute(win[comp : comp + 1, :])
-            if comp >= 3:  # velocities of empty slots must be zero
-                d = jnp.where(slot_valid, d, 0.0)
-            out_f32[comp, 0] = d
-        pid = redistribute(win[6:7, :]).astype(jnp.int32)
-        out_pid[0] = jnp.where(slot_valid, pid, -1)
+    keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
+    # off[c] = first window index of cell c's run = #keys < cell_id;
+    # one extra row (mc+1) gives run lengths len_c = off[c+1] - off[c]
+    cell_ids = (
+        r * mc + jax.lax.broadcasted_iota(jnp.int32, (mc + 1, 1), 0)
+    ).astype(jnp.float32)
+    less = (keys < cell_ids).astype(jnp.int32)  # (mc+1, W)
+    off_ext = jnp.sum(less, axis=1, keepdims=True)  # (mc+1, 1)
+    off = off_ext[:mc]
+    length = off_ext[1:] - off
+    # right-roll row c by (W - off + 128): after the COARSE (>=128) bits the
+    # run start lands in lanes [1, 128] of the window, so the FINE (<128)
+    # bits only need to roll a 2-tile slice — ~2x less lane-rotation work
+    # than rolling the full 13-tile width at every bit level. The +128 bias
+    # also kills the off % 128 == 0 edge (which would land at lane 0 before
+    # coarse completion... i.e., outside any trailing slice).
+    shift = jnp.mod(W - off + 128, W)
 
-    pl.run_scoped(
-        body,
-        win=pltpu.VMEM((8, spec.row_window), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA(()),
-    )
+    fine_w = 128 + ((cap + 127) // 128) * 128  # slice holding lane 128+cap
+
+    def redistribute(plane):  # (1, W) -> (mc, cap)
+        rep = jnp.broadcast_to(plane, (mc, W))
+        b = 128
+        while b < W:
+            rolled = pltpu.roll(rep, b, axis=1)
+            rep = jnp.where((shift & b) != 0, rolled, rep)
+            b <<= 1
+        rep = rep[:, :fine_w]  # run start now in lanes [1, 128]
+        b = 1
+        while b < 128:
+            rolled = pltpu.roll(rep, b, axis=1)
+            rep = jnp.where((shift & b) != 0, rolled, rep)
+            b <<= 1
+        # after the fine bits the run starts exactly at lane 128
+        return rep[:, 128 : 128 + cap]
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (mc, cap), 1)
+    slot_valid = slot_iota < jnp.minimum(length, cap)
+
+    for comp in range(6):  # x, y, z, vx, vy, vz
+        d = redistribute(win2[slot, comp : comp + 1, :])
+        if comp >= 3:  # velocities of empty slots must be zero
+            d = jnp.where(slot_valid, d, 0.0)
+        out_f32[comp, 0] = d
+    pid = redistribute(win2[slot, 6:7, :]).astype(jnp.int32)
+    out_pid[0] = jnp.where(slot_valid, pid, -1)
 
 
 def _row_starts(sorted_keys: jnp.ndarray, spec: DenseSpec) -> jnp.ndarray:
-    """(R+1,) first sorted index of each (z, y) row — via a boundary
-    scatter over at most ncells updates + a running-min backfill (the
-    measured-fast alternative to searchsorted; empty rows inherit the next
-    row's start)."""
-    s = sorted_keys.shape[0]
-    iota = jnp.arange(s, dtype=jnp.int32)
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
-    )
-    row_of = jnp.clip(sorted_keys // spec.mc, 0, spec.rows)
-    # non-boundaries dump into a discard slot BEYOND the sentinel row — it
-    # must not participate in the backfill scan below
-    target = jnp.where(boundary, row_of, spec.rows + 1)
-    starts = (
-        jnp.full((spec.rows + 2,), s, jnp.int32).at[target].min(iota)
-    )[: spec.rows + 1]
-    # backfill: start[r] = min(start[r:]) so empty rows point at the next run
-    starts = lax.associative_scan(jnp.minimum, starts, reverse=True)
-    return starts
+    """(R+1,) first sorted index of each (z, y) row: row r's cells span keys
+    [r*mc, (r+1)*mc), so start[r] = #keys < r*mc.
+
+    Uses searchsorted with method="compare_all" — R+1 queries x S keys of
+    pure vectorized compares (~2 ms at S=1.7M). The binary-search method
+    serializes (~30 ms flat) and a scatter-based variant processes all S
+    updates (~20 ms) on this chip."""
+    queries = jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc
+    return jnp.searchsorted(
+        sorted_keys, queries, method="compare_all"
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -220,11 +233,17 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
         (keys, x, y, z, vx, vy, vz, pidf), dimension=0, num_keys=1
     )
     k_s = out[0]
-    recs = jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)), axis=0)
-    # window over-read guard: pad W columns; the key channel must pad with
-    # an out-of-band value (zero would alias cell 0 and fabricate particles)
-    recs = jnp.pad(recs, ((0, 0), (0, W)))
-    recs = recs.at[7, spec.slots:].set(jnp.float32(spec.ncells))
+    # one concat builds the padded record matrix: W guard columns for the
+    # window over-read, with the key channel padded out-of-band (zero would
+    # alias cell 0 and fabricate particles)
+    pad = jnp.zeros((8, W), jnp.float32).at[7].set(jnp.float32(spec.ncells))
+    recs = jnp.concatenate(
+        [
+            jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)), axis=0),
+            pad,
+        ],
+        axis=1,
+    )
     row_start = _row_starts(k_s, spec)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -240,6 +259,10 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
                 (1, mc, cap), lambda r, *_: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, W), jnp.float32),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     posvel, pid4 = pl.pallas_call(

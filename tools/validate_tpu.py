@@ -1,0 +1,132 @@
+"""Hardware validation gate — run on the real TPU (SURVEY.md §6.2 gates at
+production scale; the CPU test suite runs the same chain in interpret mode).
+
+    python tools/validate_tpu.py [--n 1000000] [--steps 1000]
+
+Checks, in order:
+  1. expand kernel == scatter-based reference (bitwise, pid + positions)
+  2. force kernel (exact-divide variant) vs jnp reference (<= fp32 tol)
+  3. hot-path force kernel (NR reciprocal) within loose tol
+  4. pair-count parity: count kernel == O(N^2) oracle... at large N the
+     oracle is O(N^2)-expensive, so the oracle runs at a subsampled N and
+     the large-N count is checked against the jnp dense reference instead
+  5. NVE energy drift over --steps at scale (<= 1e-4)
+Exits nonzero on any failure; prints one PASS/FAIL line per gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def gate(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
+    return bool(ok)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--n-oracle", type=int, default=16384)
+    ap.add_argument("--steps", type=int, default=1000)
+    args = ap.parse_args()
+
+    from md_neighbor_list_tpu.core.config import MDConfig
+    from md_neighbor_list_tpu.core.system import init_lattice
+    from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+    from md_neighbor_list_tpu.ops import dense_ref, oracle, pallas_force
+    from md_neighbor_list_tpu.ops.dense_cells import (from_packed, make_spec,
+                                                      rebuild_dense)
+
+    ok = True
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    # --- small-N gates vs the O(N^2) oracle -------------------------------
+    n0 = args.n_oracle
+    system, box = init_lattice(n0, 1.0)
+    spec0 = make_spec(box, 2.8, cap=40)
+    st0 = dense_ref.rebuild_reference(
+        from_packed(system.pos, system.vel, system.pid, spec0), spec0
+    )
+    valid0 = st0.valid().astype(jnp.float32)
+    vm0 = st0.valid()
+
+    got, _ = rebuild_dense(st0, spec0, False)
+    want = dense_ref.rebuild_reference(st0, spec0)
+    ok &= gate(
+        "expand == reference (bitwise)",
+        bool(jnp.all(got.pid == want.pid))
+        and bool(jnp.all(jnp.where(want.valid()[None], got.pos == want.pos,
+                                   True))),
+    )
+
+    c_k, _ = pallas_force.dense_counts(st0.pos, valid0, spec0, 2.8,
+                                       False, False)
+    pairs_k = int(jnp.sum(jnp.where(vm0, c_k, 0))) // 2
+    pairs_o = int(oracle.pair_count(system.pos, box, 2.8))
+    ok &= gate("pair-count parity vs oracle",
+               pairs_k == pairs_o, f"({pairs_k} vs {pairs_o})")
+
+    f_k, pe_k = pallas_force.dense_forces(st0.pos, valid0, spec0, 2.5,
+                                          False, True)
+    f_r, pe_r = dense_ref.sweep_reference(st0, spec0, 2.5, want_forces=True)
+    df = float(jnp.max(jnp.where(vm0[None], jnp.abs(f_k - f_r), 0.0)))
+    scale = float(jnp.max(jnp.abs(f_r)))
+    ok &= gate("force kernel (exact divide) vs reference",
+               df <= 2e-4 * max(scale, 1.0), f"(max |dF| {df:.2e})")
+
+    f_h, _ = pallas_force.dense_forces(st0.pos, valid0, spec0, 2.5,
+                                       False, False)
+    dh = float(jnp.max(jnp.where(vm0[None], jnp.abs(f_h - f_r), 0.0)))
+    ok &= gate("force kernel (NR reciprocal) vs reference",
+               dh <= 1e-3 * max(scale, 1.0), f"(max |dF| {dh:.2e})")
+
+    # --- large-N gates -----------------------------------------------------
+    cfg = MDConfig(n=args.n, dt=0.001, temperature=1.0)
+    sim = DenseSimulator(cfg)
+    carry = sim.init(jax.random.PRNGKey(0))
+    cl, _ = pallas_force.dense_counts(
+        carry.state.pos, carry.state.valid().astype(jnp.float32),
+        sim.spec, cfg.rs, False, False,
+    )
+    cr = dense_ref.sweep_reference(carry.state, sim.spec, cfg.rs,
+                                   want_forces=False)
+    ok &= gate(
+        f"count kernel == reference at N={args.n}",
+        bool(jnp.all(jnp.where(carry.state.valid(), cl == cr, True))),
+    )
+
+    ke0, pe0 = sim.energies(carry)
+    e0 = float(ke0) + float(pe0)
+    t0 = time.time()
+    carry = sim.run(carry, args.steps, chunk=200)
+    ke1, pe1 = sim.energies(carry)
+    e1 = float(ke1) + float(pe1)
+    drift = abs(e1 - e0) / abs(e0)
+    ok &= gate(
+        f"NVE |dE/E| over {args.steps} steps at N={args.n}",
+        drift <= 1e-4,
+        f"({drift:.2e}, {int(np.asarray(carry.n_rebuilds))} rebuilds, "
+        f"{time.time()-t0:.0f}s)",
+    )
+    ok &= gate("no capacity overflow", not bool(np.asarray(carry.overflow)))
+
+    print("ALL PASS" if ok else "FAILURES PRESENT", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
