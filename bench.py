@@ -80,17 +80,31 @@ def bench_pallas(cfg, args):
                     st2.pos, st2.valid().astype(jnp.float32), spec, cfg.rs,
                     emit_masks=(spec.cap <= 32), interpret=False,
                 )
-            return acc + jnp.sum(counts), st2
+            # f32 accumulator: only a completion fence, not the pair count
+            # (i32 would overflow across reps at large N)
+            return acc + jnp.sum(counts.astype(jnp.float32)), st2
         acc, st = jax.lax.fori_loop(
-            0, reps, body, (jnp.zeros((), jnp.int32), state)
+            0, reps, body, (jnp.zeros((), jnp.float32), state)
         )
         return acc
 
+    # exact pair count from one untimed build (i32-safe for N <= ~20M)
+    if impl == "jnp":
+        from md_neighbor_list_tpu.ops import dense_ref
+
+        c1 = dense_ref.sweep_reference(carry.state, spec, cfg.rs, False)
+    else:
+        c1, _ = pallas_force.dense_counts(
+            carry.state.pos, carry.state.valid().astype(jnp.float32),
+            spec, cfg.rs, False, False,
+        )
+    pairs = int(np.asarray(jnp.sum(
+        jnp.where(carry.state.valid(), c1, 0)))) // 2
+
     fetch_scalar(chained_builds(carry.state))  # compile + warm
     t0 = time.perf_counter()
-    total_cnt = fetch_scalar(chained_builds(carry.state))
+    fetch_scalar(chained_builds(carry.state))
     build_ms = (time.perf_counter() - t0) * 1e3 / reps
-    pairs = int(total_cnt) // (2 * reps)
     log(f"list build: {build_ms:.2f} ms/build over {reps} chained builds "
         f"({pairs} pairs)")
 

@@ -149,13 +149,9 @@ def bin_particles(pos: jnp.ndarray, grid: CellGrid, cell_cap: int,
     cell_s = cell[perm]
     active_s = None if active is None else active[perm]
 
-    # rank within the key run: first-occurrence index via a boundary cummax
-    # (a searchsorted-against-self binary search costs ~100x more on TPU)
-    boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
-    )
-    first = lax.associative_scan(jnp.maximum, jnp.where(boundary, iota, 0))
-    rank = iota - first
+    from md_neighbor_list_tpu.ops.common import run_first_index
+
+    rank = iota - run_first_index(sorted_key)
     if active_s is None:
         cell_max = jnp.max(rank) + 1
     else:

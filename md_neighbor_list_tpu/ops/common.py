@@ -43,6 +43,21 @@ def lj_potential(r2: jnp.ndarray, mask: jnp.ndarray, rc: float) -> jnp.ndarray:
     return jnp.where(mask, u, 0.0)
 
 
+def run_first_index(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """For each position of a sorted 1-D key array, the index of the first
+    element of its equal-key run — the scatter-free replacement for
+    searchsorted-against-self (a serialized binary search costs ~100x more
+    on this chip). rank-within-run = iota - run_first_index(keys)."""
+    n = sorted_keys.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    return jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, iota, 0)
+    )
+
+
 def compact_rows(cand: jnp.ndarray, mask: jnp.ndarray, k_cap: int,
                  fill: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compress each row's masked candidates into the first slots of a

@@ -28,6 +28,7 @@ def rebuild_reference(state: DenseState, spec: DenseSpec) -> DenseState:
     stable-sorted particles of cell c occupy slots (c, 0..len-1); cell
     overflow drops the tail (detected by the caller's count check). Wraps
     positions on entry (wrap-at-rebuild-only rule, see rebuild_dense)."""
+    from md_neighbor_list_tpu.ops.common import run_first_index
     from md_neighbor_list_tpu.ops.dense_cells import cell_keys
 
     state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
@@ -36,9 +37,7 @@ def rebuild_reference(state: DenseState, spec: DenseSpec) -> DenseState:
     order = jnp.argsort(keys, stable=True)
     k_s = keys[order]
     iota = jnp.arange(s, dtype=jnp.int32)
-    boundary = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
-    first = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, iota, 0))
-    rank = iota - first
+    rank = iota - run_first_index(k_s)
     dst = jnp.where(
         (k_s < spec.ncells) & (rank < spec.cap),
         k_s * spec.cap + rank,

@@ -17,11 +17,9 @@ Exits nonzero on any failure; prints one PASS/FAIL line per gate.
 from __future__ import annotations
 
 import argparse
-import sys
-import time
-
 import pathlib
 import sys
+import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
