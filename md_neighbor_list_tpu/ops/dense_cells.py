@@ -77,7 +77,12 @@ class DenseSpec:
 def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
     mc = max(int(box.L / rs), 1)
     if mc < 3:
-        raise ValueError(f"box too small for dense cell layout (mc={mc} < 3)")
+        raise ValueError(
+            f"box too small for the dense cell layout (mc={mc} < 3 at "
+            f"L={box.L:.3g}, rs={rs}); use the padded-list engine "
+            "(models.lj_nve.Simulator / --engine xla), whose all-pairs "
+            "fallback handles tiny boxes"
+        )
     return DenseSpec(mc=mc, cap=cap, L=box.L, cell_size=box.L / mc)
 
 
