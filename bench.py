@@ -76,9 +76,12 @@ def bench_pallas(cfg, args):
                 )
             else:
                 st2, _ = rebuild_dense(st, spec, False)
-                counts, _ = pallas_force.dense_counts(
+                # half-sweep counting: each pair attributed once (~half the
+                # full sweep's evals); the exact full-count parity pass runs
+                # untimed below
+                counts = pallas_force.dense_counts_half(
                     st2.pos, st2.valid().astype(jnp.float32), spec, cfg.rs,
-                    emit_masks=(spec.cap <= 32), interpret=False,
+                    False,
                 )
             # f32 accumulator: only a completion fence, not the pair count
             # (i32 would overflow across reps at large N)

@@ -170,10 +170,31 @@ class DenseSimulator:
                 )
             return new, counts, masks
 
+        @jax.jit
+        def rebuild_and_half_counts(state: DenseState):
+            """Fast list-build: rebuild + half-sweep pair counting (each
+            pair once; total pairs = sum of counts over valid slots)."""
+            if impl == "jnp":
+                new = dense_ref.rebuild_reference(state, spec)
+                counts = dense_ref.sweep_reference(
+                    new, spec, cfg.rs, want_forces=False
+                )  # full counts; caller halves the total
+                half = False
+            else:
+                new, _ = rebuild_dense(state, spec, interp)
+                counts = pallas_force.dense_counts_half(
+                    new.pos, new.valid().astype(jnp.float32), spec, cfg.rs,
+                    interp,
+                )
+                half = True
+            total = jnp.sum(jnp.where(new.valid(), counts, 0))
+            return new, jnp.where(half, total, total // 2)
+
         self._run_chunk = run_chunk
         self._initial_build = initial_build
         self._energies = energies
         self._rebuild_and_lists = rebuild_and_lists
+        self._rebuild_and_half_counts = rebuild_and_half_counts
         self.step_fn = lambda carry: step(carry, None)[0]
 
     # ------------------------------------------------------------------ API

@@ -256,6 +256,98 @@ def _count_kernel(nm1_ref, n0_ref, np1_ref, own_ref, cnt_ref, *,
         cnt_ref[0] += jnp.where(hit, 1.0, 0.0).sum(axis=-1)
 
 
+HALF_OFFSETS5 = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _win_specs_half(spec: DenseSpec):
+    """Specs for the half-sweep count grid (z, y, k): the five (dz, dy)
+    rows with (dz, dy) lexicographically >= (0, 0) — each unordered pair is
+    visited exactly once (the center row additionally halves its x-window
+    in-kernel). 5/9 of the fetches and ~half the pair evals of the full
+    sweep; counts then need no /2."""
+    mc = spec.mc
+    shape = (1, 3, mc, 3 * spec.cap)
+
+    def nbr_map(z, y, k):
+        dz = jnp.where(k >= 2, 1, 0)
+        dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
+        return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
+
+    def own_map(z, y, k):
+        return (z * mc + y, 0, 0, 0)
+
+    return (
+        pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM),
+    )
+
+
+def _half_center_penalty(spec: DenseSpec):
+    """(1, cap, 3cap) f32 penalty for the (0,0) offset of the half sweep:
+    excludes the dx=-1 segment entirely and keeps only lane > slot in the
+    center segment (same-cell Newton dedup). 0.0 where the pair is kept."""
+    cap = spec.cap
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 3 * cap), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 3 * cap), 2)
+    keep = (lane >= 2 * cap) | ((lane >= cap) & (lane - cap > slot))
+    return jnp.where(keep, 0.0, jnp.float32(_PENALTY))
+
+
+def _count_half_kernel(nbr_ref, own_ref, cnt_ref, *, spec: DenseSpec,
+                       radius: float):
+    mc, cap = spec.mc, spec.cap
+    z = pl.program_id(0)
+    y = pl.program_id(1)
+    k = pl.program_id(2)
+    dz = jnp.where(k >= 2, 1, 0)
+    dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
+    fL = jnp.float32(spec.L)
+    zsh = jnp.where(z + dz >= mc, fL, 0.0)  # dz >= 0 here
+    ysh = jnp.where(y + dy >= mc, fL, jnp.where(y + dy < 0, -fL, 0.0))
+
+    xi = own_ref[0, 0, :, cap : 2 * cap][:, :, None]
+    yi = own_ref[0, 1, :, cap : 2 * cap][:, :, None]
+    zi = own_ref[0, 2, :, cap : 2 * cap][:, :, None]
+    xj = nbr_ref[0, 0][:, None, :]
+    yj = nbr_ref[0, 1][:, None, :] + ysh
+    zj = nbr_ref[0, 2][:, None, :] + zsh
+
+    dxv = xi - xj
+    dyv = yi - yj
+    dzv = zi - zj
+    r2p = dxv * dxv + dyv * dyv + dzv * dzv
+    r2p = r2p + jnp.where(k == 0, _half_center_penalty(spec), 0.0)
+
+    @pl.when(k == 0)
+    def _():
+        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
+
+    hit = r2p < jnp.float32(radius * radius)
+    cnt_ref[0] += jnp.where(hit, 1.0, 0.0).sum(axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
+                      spec: DenseSpec, radius: float,
+                      interpret: bool = False):
+    """Per-slot HALF neighbor counts (each unordered pair attributed once,
+    to its lexicographically-lower cell/slot). Total pairs = sum(counts) —
+    the fast list-build counting pass (nearly half the full sweep's work)."""
+    mc, cap = spec.mc, spec.cap
+    windows = make_windows(pos4, valid_f32, spec)
+    counts = pl.pallas_call(
+        functools.partial(_count_half_kernel, spec=spec, radius=radius),
+        grid=(mc, mc, 5),
+        in_specs=list(_win_specs_half(spec)),
+        out_specs=pl.BlockSpec((1, mc, cap),
+                               lambda z, y, k: (z * mc + y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+        interpret=interpret,
+    )(windows, windows).astype(jnp.int32)
+    return counts
+
+
 def _mask_kernel(win_ref, own_ref, mask_ref, *, spec: DenseSpec,
                  radius: float):
     """Bitmask emission kept in its own kernel: every output block here is

@@ -141,6 +141,23 @@ def test_pallas_kernels_match_reference_interpret():
     np.testing.assert_array_equal(pop[vm], np.asarray(c_k)[vm])
 
 
+@pytest.mark.slow
+def test_half_count_kernel_matches_full():
+    """Half-sweep counting (each pair attributed once) must total exactly
+    half the full symmetric sweep, with zero leakage onto invalid slots."""
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    state, spec, box, pos = _dense_state(key=9)
+    valid = state.valid().astype(jnp.float32)
+    half = pallas_force.dense_counts_half(state.pos, valid, spec, 2.8, True)
+    full = dense_ref.sweep_reference(state, spec, 2.8, want_forces=False)
+    vm = state.valid()
+    th = int(np.asarray(jnp.sum(jnp.where(vm, half, 0))))
+    tf = int(np.asarray(jnp.sum(jnp.where(vm, full, 0))))
+    assert th == tf // 2
+    assert int(np.asarray(jnp.max(jnp.where(vm, 0, half)))) == 0
+
+
 def test_dense_simulator_nve_jnp():
     """Full DenseSimulator NVE on the jnp path: energy conservation +
     rebuilds engaging + force parity with the XLA Simulator."""
