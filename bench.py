@@ -41,7 +41,6 @@ def fetch_scalar(x) -> float:
 
 def bench_pallas(cfg, args):
     from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
-    from md_neighbor_list_tpu.ops.dense_cells import rebuild_dense
     from md_neighbor_list_tpu.ops import pallas_force
 
     impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
@@ -67,25 +66,11 @@ def bench_pallas(cfg, args):
             st = st._replace(
                 pos=st.pos + (i % 2).astype(jnp.float32) * 1e-6
             )
-            if impl == "jnp":
-                from md_neighbor_list_tpu.ops import dense_ref
-
-                st2 = dense_ref.rebuild_reference(st, spec)
-                counts = dense_ref.sweep_reference(
-                    st2, spec, cfg.rs, want_forces=False
-                )
-            else:
-                st2, _ = rebuild_dense(st, spec, False)
-                # half-sweep counting: each pair attributed once (~half the
-                # full sweep's evals); the exact full-count parity pass runs
-                # untimed below
-                counts = pallas_force.dense_counts_half(
-                    st2.pos, st2.valid().astype(jnp.float32), spec, cfg.rs,
-                    False,
-                )
-            # f32 accumulator: only a completion fence, not the pair count
-            # (i32 would overflow across reps at large N)
-            return acc + jnp.sum(counts.astype(jnp.float32)), st2
+            # the engine's list-build entry point: rebuild + half-sweep
+            # pair counting (the exact full-count parity pass runs untimed
+            # below). f32 accumulator is only a completion fence.
+            st2, total = sim._rebuild_and_half_counts(st)
+            return acc + total.astype(jnp.float32), st2
         acc, st = jax.lax.fori_loop(
             0, reps, body, (jnp.zeros((), jnp.float32), state)
         )

@@ -188,7 +188,7 @@ class DenseSimulator:
                 )
                 half = True
             total = jnp.sum(jnp.where(new.valid(), counts, 0))
-            return new, jnp.where(half, total, total // 2)
+            return new, (total if half else total // 2)
 
         self._run_chunk = run_chunk
         self._initial_build = initial_build

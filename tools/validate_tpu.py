@@ -78,6 +78,11 @@ def main():
     ok &= gate("pair-count parity vs oracle",
                pairs_k == pairs_o, f"({pairs_k} vs {pairs_o})")
 
+    c_h = pallas_force.dense_counts_half(st0.pos, valid0, spec0, 2.8, False)
+    pairs_h = int(jnp.sum(jnp.where(vm0, c_h, 0)))
+    ok &= gate("half-sweep count parity vs oracle",
+               pairs_h == pairs_o, f"({pairs_h} vs {pairs_o})")
+
     f_k, pe_k = pallas_force.dense_forces(st0.pos, valid0, spec0, 2.5,
                                           False, True)
     f_r, pe_r = dense_ref.sweep_reference(st0, spec0, 2.5, want_forces=True)
