@@ -66,11 +66,16 @@ def bench_pallas(cfg, args):
             st = st._replace(
                 pos=st.pos + (i % 2).astype(jnp.float32) * 1e-6
             )
-            # the engine's list-build entry point: rebuild + half-sweep
-            # pair counting (the exact full-count parity pass runs untimed
-            # below). f32 accumulator is only a completion fence.
-            st2, total = sim._rebuild_and_half_counts(st)
-            return acc + total.astype(jnp.float32), st2
+            # the engine's list-build entry point: rebuild + the one-pass
+            # half-list kernel emitting the FULL artifact (packed cluster
+            # bitmasks + half counts). The f32 accumulator folds in a mask
+            # word so neither output can be dead-code-eliminated; the
+            # exact full-count parity pass runs untimed below.
+            st2, counts, masks, total = sim._rebuild_and_lists(st)
+            acc = acc + total.astype(jnp.float32)
+            if masks is not None:
+                acc = acc + masks[0, 0, 0, 0, 0].astype(jnp.float32) * 0.0
+            return acc, st2
         acc, st = jax.lax.fori_loop(
             0, reps, body, (jnp.zeros((), jnp.float32), state)
         )
@@ -82,9 +87,9 @@ def bench_pallas(cfg, args):
 
         c1 = dense_ref.sweep_reference(carry.state, spec, cfg.rs, False)
     else:
-        c1, _ = pallas_force.dense_counts(
+        c1 = pallas_force.dense_counts(
             carry.state.pos, carry.state.valid().astype(jnp.float32),
-            spec, cfg.rs, False, False,
+            spec, cfg.rs, False,
         )
     pairs = int(np.asarray(jnp.sum(
         jnp.where(carry.state.valid(), c1, 0)))) // 2

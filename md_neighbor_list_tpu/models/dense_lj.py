@@ -73,12 +73,17 @@ class DenseSimulator:
         fL = jnp.float32(spec.L)
 
         def forces(state: DenseState, want_pe: bool = False):
+            """(force, pe_slots) with pe attributed ONCE per pair: total
+            PE = sum(pe_slots * valid). The jnp reference sweeps the full
+            symmetric neighborhood (each pair twice), so its pe is halved
+            here; the Pallas path is the half-sweep Newton-3 kernel."""
             if impl == "jnp":
-                return dense_ref.sweep_reference(
+                f, pe = dense_ref.sweep_reference(
                     state, spec, cfg.rc, want_forces=True
                 )
+                return f, 0.5 * pe
             valid = state.valid().astype(jnp.float32)
-            return pallas_force.dense_forces(
+            return pallas_force.dense_forces_half(
                 state.pos, valid, spec, cfg.rc, interp, want_pe
             )
 
@@ -146,55 +151,38 @@ class DenseSimulator:
                 jnp.where(v[None], carry.state.vel, 0.0) ** 2
             )
             _, pe_slots = forces(carry.state, want_pe=True)
-            pe = 0.5 * jnp.sum(jnp.where(v, pe_slots, 0.0))
+            pe = jnp.sum(jnp.where(v, pe_slots, 0.0))
             return ke, pe
 
         @jax.jit
         def rebuild_and_lists(state: DenseState):
-            """bin+sort+expand + count/mask kernels — the timed neighbor-
-            list build (BASELINE.md row 1)."""
+            """The timed neighbor-list build (BASELINE.md row 1): bin +
+            sort + expand + the one-pass half-list kernel emitting the
+            complete artifact — packed cluster bitmasks AND half counts
+            (total pairs = sum of counts over valid slots)."""
             if impl == "jnp":
+                # jnp twin sweeps the full symmetric neighborhood: per-slot
+                # counts are FULL (each pair at both partners), total pairs
+                # = sum / 2; no mask artifact on this path.
                 new = dense_ref.rebuild_reference(state, spec)
-            else:
-                new, _ = rebuild_dense(state, spec, interp)
-            valid = new.valid().astype(jnp.float32)
-            if impl == "jnp":
                 counts = dense_ref.sweep_reference(
                     new, spec, cfg.rs, want_forces=False
                 )
                 masks = None
-            else:
-                counts, masks = pallas_force.dense_counts(
-                    new.pos, valid, spec, cfg.rs,
-                    emit_masks=(spec.cap <= 32), interpret=interp,
-                )
-            return new, counts, masks
-
-        @jax.jit
-        def rebuild_and_half_counts(state: DenseState):
-            """Fast list-build: rebuild + half-sweep pair counting (each
-            pair once; total pairs = sum of counts over valid slots)."""
-            if impl == "jnp":
-                new = dense_ref.rebuild_reference(state, spec)
-                counts = dense_ref.sweep_reference(
-                    new, spec, cfg.rs, want_forces=False
-                )  # full counts; caller halves the total
-                half = False
+                total = jnp.sum(jnp.where(new.valid(), counts, 0)) // 2
             else:
                 new, _ = rebuild_dense(state, spec, interp)
-                counts = pallas_force.dense_counts_half(
+                counts, masks = pallas_force.dense_lists_half(
                     new.pos, new.valid().astype(jnp.float32), spec, cfg.rs,
                     interp,
                 )
-                half = True
-            total = jnp.sum(jnp.where(new.valid(), counts, 0))
-            return new, (total if half else total // 2)
+                total = jnp.sum(jnp.where(new.valid(), counts, 0))
+            return new, counts, masks, total
 
         self._run_chunk = run_chunk
         self._initial_build = initial_build
         self._energies = energies
         self._rebuild_and_lists = rebuild_and_lists
-        self._rebuild_and_half_counts = rebuild_and_half_counts
         self.step_fn = lambda carry: step(carry, None)[0]
 
     # ------------------------------------------------------------------ API

@@ -72,16 +72,12 @@ class Simulator:
                     else config.cell_capacity,
                 )
         self.capacity = capacity
-        backend = config.backend
-        if backend == "auto":
-            backend = "xla"
-        if backend == "pallas":
+        if config.backend == "pallas":
             raise ValueError(
                 "backend='pallas' is the dense engine — use "
                 "models.dense_lj.DenseSimulator (bench.py selects it "
                 "automatically)"
             )
-        self.backend = backend
         self._compile()
 
     # ------------------------------------------------------------------ build
@@ -92,7 +88,7 @@ class Simulator:
         def do_rebuild(system: System, n_rebuilds) -> Carry:
             pos_sorted, nl = build_neighbor_lists(
                 system.pos, box, grid, cfg.rs, cap.neighbors, cap.cell,
-                cfg.half_list, cfg.layout, backend=self.backend,
+                cfg.half_list, cfg.layout,
             )
             system = System(
                 pos=pos_sorted,

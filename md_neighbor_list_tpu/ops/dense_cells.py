@@ -118,7 +118,7 @@ def cell_keys(state: DenseState, spec: DenseSpec) -> jnp.ndarray:
 
 # ------------------------------------------------------------ expand kernel
 def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
-                   spec: DenseSpec):
+                   spec, key_base: int):
     """Per (z, y) row: DMA the sorted-record window for this row's cells and
     redistribute each cell's run to its fixed cap-stride slots.
 
@@ -152,9 +152,12 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
 
     keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
     # off[c] = first window index of cell c's run = #keys < cell_id;
-    # one extra row (mc+1) gives run lengths len_c = off[c+1] - off[c]
+    # one extra row (mc+1) gives run lengths len_c = off[c+1] - off[c].
+    # key_base: first cell key of row 0 (nonzero for the slab layout,
+    # whose sorted stream leads with emigrant records keyed below it)
     cell_ids = (
-        r * mc + jax.lax.broadcasted_iota(jnp.int32, (mc + 1, 1), 0)
+        key_base + r * mc
+        + jax.lax.broadcasted_iota(jnp.int32, (mc + 1, 1), 0)
     ).astype(jnp.float32)
     less = (keys < cell_ids).astype(jnp.int32)  # (mc+1, W)
     off_ext = jnp.sum(less, axis=1, keepdims=True)  # (mc+1, 1)
@@ -198,50 +201,44 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     out_pid[0] = jnp.where(slot_valid, pid, -1)
 
 
-def _row_starts(sorted_keys: jnp.ndarray, spec: DenseSpec) -> jnp.ndarray:
+def _row_starts(sorted_keys: jnp.ndarray, spec,
+                key_base: int = 0) -> jnp.ndarray:
     """(R+1,) first sorted index of each (z, y) row: row r's cells span keys
-    [r*mc, (r+1)*mc), so start[r] = #keys < r*mc.
+    [key_base + r*mc, key_base + (r+1)*mc), so start[r] = #keys < that.
 
     Uses searchsorted with method="compare_all" — R+1 queries x S keys of
     pure vectorized compares (~2 ms at S=1.7M). The binary-search method
     serializes (~30 ms flat) and a scatter-based variant processes all S
     updates (~20 ms) on this chip."""
-    queries = jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc
+    queries = (key_base
+               + jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc)
     return jnp.searchsorted(
         sorted_keys, queries, method="compare_all"
     ).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def rebuild_dense(state: DenseState, spec: DenseSpec,
-                  interpret: bool = False) -> tuple[DenseState, jnp.ndarray]:
-    """Full spatial rebuild: key -> 8-payload sort -> expand kernel.
+def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
+                interpret: bool = False,
+                key_base: int = 0) -> tuple[DenseState, jnp.ndarray]:
+    """The rebuild core: one 8-payload sort by cell key + the expand
+    kernel. ``keys`` (M,) i32; ``chans`` = (x, y, z, vx, vy, vz, pidf),
+    each (M,) f32. Records keyed outside [key_base, key_base + rows*mc)
+    are dropped (emigrants sort below, parked/foreign records above) —
+    the slab engine leans on exactly this. ``spec`` is duck-typed: any
+    object with mc/cap/rows/row_window (cube DenseSpec or slab SlabSpec).
 
-    Returns (new_state, row_start). Slot count conservation (every valid
-    particle still present) is the caller's overflow check — a cell run
-    longer than cap is truncated by the expand kernel and detected as a
-    lost particle (SURVEY.md §4.3 overflow protocol).
-
-    Positions are wrapped here and ONLY here: between rebuilds the engine
-    integrates unwrapped coordinates so the sweep's pre-shifted periodic
-    images stay exact even when a particle crosses the box boundary (a
-    wrapped coordinate against a stale cell id would land a full box-length
-    away — the classic wrap-at-rebuild-only rule)."""
+    Returns (DenseState over spec.rows rows, row_start). Slot-count
+    conservation is the caller's overflow check — a cell run longer than
+    cap is truncated by the expand kernel and detected as a lost particle
+    (SURVEY.md §4.3 overflow protocol)."""
     mc, cap, W = spec.mc, spec.cap, spec.row_window
-    state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
-    keys = _flat(cell_keys(state, spec))
-    x, y, z = (_flat(state.pos[i]) for i in range(3))
-    vx, vy, vz = (_flat(state.vel[i]) for i in range(3))
-    pidf = _flat(state.pid).astype(jnp.float32)  # exact for pid < 2^24
-
-    out = lax.sort(
-        (keys, x, y, z, vx, vy, vz, pidf), dimension=0, num_keys=1
-    )
+    out = lax.sort((keys,) + tuple(chans), dimension=0, num_keys=1)
     k_s = out[0]
     # one concat builds the padded record matrix: W guard columns for the
-    # window over-read, with the key channel padded out-of-band (zero would
-    # alias cell 0 and fabricate particles)
-    pad = jnp.zeros((8, W), jnp.float32).at[7].set(jnp.float32(spec.ncells))
+    # window over-read, with the key channel padded out-of-band (a small
+    # value would alias a real cell and fabricate particles)
+    pad_key = jnp.float32(key_base + spec.rows * mc)
+    pad = jnp.zeros((8, W), jnp.float32).at[7].set(pad_key)
     recs = jnp.concatenate(
         [
             jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)), axis=0),
@@ -249,7 +246,7 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
         ],
         axis=1,
     )
-    row_start = _row_starts(k_s, spec)
+    row_start = _row_starts(k_s, spec, key_base)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -271,7 +268,7 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
         ],
     )
     posvel, pid4 = pl.pallas_call(
-        functools.partial(_expand_kernel, spec=spec),
+        functools.partial(_expand_kernel, spec=spec, key_base=key_base),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, spec.rows, mc, cap), jnp.float32),
@@ -282,6 +279,27 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
 
     new = DenseState(pos=posvel[:3], vel=posvel[3:], pid=pid4)
     return new, row_start
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rebuild_dense(state: DenseState, spec: DenseSpec,
+                  interpret: bool = False) -> tuple[DenseState, jnp.ndarray]:
+    """Full spatial rebuild: key -> 8-payload sort -> expand kernel.
+
+    Returns (new_state, row_start); overflow detection is the caller's
+    count check (see sort_expand).
+
+    Positions are wrapped here and ONLY here: between rebuilds the engine
+    integrates unwrapped coordinates so the sweep's pre-shifted periodic
+    images stay exact even when a particle crosses the box boundary (a
+    wrapped coordinate against a stale cell id would land a full box-length
+    away — the classic wrap-at-rebuild-only rule)."""
+    state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
+    keys = _flat(cell_keys(state, spec))
+    chans = tuple(_flat(state.pos[i]) for i in range(3)) + tuple(
+        _flat(state.vel[i]) for i in range(3)
+    ) + (_flat(state.pid).astype(jnp.float32),)  # pid exact for < 2^24
+    return sort_expand(keys, chans, spec, interpret)
 
 
 # ----------------------------------------------------- packed <-> dense I/O

@@ -9,9 +9,10 @@ the same contract — gathers from the dense cell table, one fused distance
 mask, and cumsum-based compaction (no data-dependent shapes anywhere).
 
 This XLA path is the *correctness* implementation (and the one the CPU
-fallback uses); the Pallas kernel in ``pallas_sweep.py`` is the performance
-path. Both emit byte-identical list encodings and are differentially tested
-against each other and the O(N^2) oracle (SURVEY.md §6.2).
+fallback uses); the performance path is the dense cell-block engine
+(``ops/dense_cells.py`` + ``ops/pallas_force.py``). Both express the same
+pair set and are differentially tested against each other and the O(N^2)
+oracle (SURVEY.md §6.2).
 
 Memory discipline: the (chunk, 27*cell_cap) candidate tile is the only large
 intermediate; rows are processed in chunks under ``lax.map`` so peak memory is
@@ -103,8 +104,7 @@ def sweep_from_bins(pos_sorted: jnp.ndarray, bins: BinData, box: Box,
 def build_neighbor_lists(pos: jnp.ndarray, box: Box, grid: CellGrid,
                          radius: float, k_cap: int, cell_cap: int,
                          half: bool, layout: str = "morton",
-                         chunk: int = 2048,
-                         backend: str = "xla") -> tuple[jnp.ndarray, NeighborLists]:
+                         chunk: int = 2048) -> tuple[jnp.ndarray, NeighborLists]:
     """Bin + sweep. Returns (pos_sorted, NeighborLists).
 
     Falls back to the all-pairs oracle path when the box is too small for a
@@ -122,9 +122,6 @@ def build_neighbor_lists(pos: jnp.ndarray, box: Box, grid: CellGrid,
 
     bins = bin_particles(pos, grid, cell_cap, layout)
     pos_sorted = pos[bins.perm]
-    # the padded-row sweep is XLA-only; the Pallas performance path lives in
-    # the dense engine (ops/dense_cells.py + ops/pallas_force.py)
-    del backend
     idx, cnt = sweep_from_bins(
         pos_sorted, bins, box, grid, radius, k_cap, half, chunk
     )

@@ -1,0 +1,215 @@
+"""Slab-decomposed variants of the dense Pallas kernels (D1/D2 fast path).
+
+The box is split into P slabs of ``nz = mc/P`` z-layers each (SURVEY.md
+§4.6, BASELINE.json:11). Per device, the dense cell-block layout is the
+single-chip one restricted to the owned layers, PLUS one ghost layer of
+rows appended after them:
+
+    extended rows axis (per device): [ owned: nz*mc rows | right ghost: mc ]
+
+Only the RIGHT ghost layer (the next device's first owned layer) is ever
+read: the half sweep's offsets have dz >= 0, so pairs straddling a slab's
+LOWER face are evaluated by the left neighbor, which returns their
+Newton-3 reaction as one contiguous layer slice (``slab_forces_half``'s
+``seam`` output) — the structural win over send-list gathers that
+VERDICT.md round 1 asked for: every halo payload here is a contiguous
+dense block, no compaction, no index lists.
+
+The kernels are the pallas_force half-sweep bodies with ``zwrap=False``
+(z never wraps locally; the ring seam's +-L shift is baked into ghost
+positions by the receiving device), so slab arithmetic is bit-identical
+to the single-chip cube's for every pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
+from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
+                                                   _force_half_kernel,
+                                                   _list_half_kernel,
+                                                   make_windows, mask_words)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabSpec:
+    """Static geometry of one device's slab of the dense layout.
+
+    ``mc`` cells per dimension in x and y (the full box); ``nz`` OWNED
+    z-layers on this device (global z cells = P * nz; the cell size is
+    L / (P * nz), identical in all dimensions)."""
+
+    mc: int  # x/y cells per dim (full box) — also global z cells
+    nz: int  # owned z-layers on this device
+    cap: int  # slots per cell
+    L: float  # box side
+    cell_size: float  # L / mc  (>= search radius)
+
+    @property
+    def rows(self) -> int:  # owned (z, y) cell rows
+        return self.nz * self.mc
+
+    @property
+    def ncells(self) -> int:
+        return self.rows * self.mc
+
+    @property
+    def slots(self) -> int:
+        return self.ncells * self.cap
+
+    @property
+    def row_window(self) -> int:
+        """Sorted-stream DMA window per row — same contract as
+        DenseSpec.row_window."""
+        w = self.mc * self.cap
+        return ((w + 127) // 128) * 128 + 128
+
+    def ext(self) -> "SlabSpec":
+        """Spec covering the extended (owned + right ghost layer) block."""
+        return dataclasses.replace(self, nz=self.nz + 1)
+
+
+def _slab_win_specs_half(spec: SlabSpec):
+    """(neighbor-row, own-row) BlockSpecs over the EXTENDED window array:
+    grid (nz, mc, 5); z indexes owned layers, never wraps (dz=1 from the
+    last owned layer lands on the ghost layer); y wraps mod mc."""
+    mc = spec.mc
+    shape = (1, 3, mc, 3 * spec.cap)
+
+    def nbr_map(z, y, k):
+        dz = jnp.where(k >= 2, 1, 0)
+        dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
+        return ((z + dz) * mc + (y + dy) % mc, 0, 0, 0)
+
+    def own_map(z, y, k):
+        return (z * mc + y, 0, 0, 0)
+
+    return (
+        pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
+                     spec: SlabSpec, rc: float, interpret: bool = False,
+                     want_pe: bool = False):
+    """Half-sweep Newton-3 LJ forces over one device's slab.
+
+    ``ext_pos``/``ext_valid_f32``: (3, (nz+1)*mc, mc, cap) — owned rows
+    followed by the right-ghost layer (positions already seam-shifted).
+
+    Returns (force (3, nz*mc, mc, cap), seam (3, mc, mc, cap), pe | None):
+    ``force`` is complete EXCEPT for reactions computed by the left
+    neighbor; ``seam`` holds this device's reactions onto its right-ghost
+    layer — ppermute it right and add to the receiver's first layer.
+    PE is attributed once per pair to the evaluating device's own slot."""
+    mc, cap, nz = spec.mc, spec.cap, spec.nz
+    nch = 7 if want_pe else 6
+    windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
+    out = pl.pallas_call(
+        functools.partial(_force_half_kernel, spec=spec, rc=rc,
+                          want_pe=want_pe, zwrap=False),
+        grid=(nz, mc, 5),
+        in_specs=list(_slab_win_specs_half(spec)),
+        out_specs=pl.BlockSpec(
+            (nch, 1, mc, cap),
+            lambda z, y, k: (k, z * mc + y, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (5 * nch, spec.rows, mc, cap), jnp.float32
+        ),
+        interpret=interpret,
+    )(windows, windows)
+    out5 = out.reshape(5, nch, nz, mc, mc, cap)
+    force = jnp.sum(out5[:, :3], axis=0)  # (3, nz, mcy, mcx, cap)
+    rxn = out5[:, 3:6]
+    seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
+    for kk, (dz, dy) in enumerate(HALF_OFFSETS5):
+        r = rxn[kk]
+        if dy != 0:
+            r = jnp.roll(r, dy, axis=2)  # y is periodic in the full box
+        if dz == 0:
+            force = force + r
+        else:
+            # computed by layer z FOR layer z+1: last layer's share crosses
+            # the slab face (the seam), the rest re-homes locally
+            force = force.at[:, 1:].add(r[:, : nz - 1])
+            seam = seam + r[:, nz - 1]
+    force = force.reshape(3, spec.rows, mc, cap)
+    pe = (jnp.sum(out5[:, 6], axis=0).reshape(spec.rows, mc, cap)
+          if want_pe else None)
+    return force, seam, pe
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
+                    spec: SlabSpec, radius: float, interpret: bool = False):
+    """Slab variant of dense_lists_half: (counts, masks) over the owned
+    rows, pairs attributed to the evaluating device (ghost-layer pairs to
+    the lower slab) — global pairs = psum of sum(counts * valid)."""
+    mc, cap, nz = spec.mc, spec.cap, spec.nz
+    words = mask_words(cap)
+    windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
+    out = pl.pallas_call(
+        functools.partial(_list_half_kernel, spec=spec, radius=radius,
+                          zwrap=False),
+        grid=(nz, mc, 5),
+        in_specs=list(_slab_win_specs_half(spec)),
+        out_specs=pl.BlockSpec(
+            (words + 1, 1, mc, cap),
+            lambda z, y, k: (k, z * mc + y, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (5 * (words + 1), spec.rows, mc, cap), jnp.float32
+        ),
+        interpret=interpret,
+    )(windows, windows)
+    out5 = out.reshape(5, words + 1, spec.rows, mc, cap)
+    counts = jnp.sum(out5[:, words], axis=0).astype(jnp.int32)
+    masks = out5[:, :words].astype(jnp.int32)
+    return counts, masks
+
+
+def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,
+              z0_cell: jnp.ndarray) -> jnp.ndarray:
+    """Per-slot sort key for the slab rebuild, over WRAPPED positions.
+
+    With s = (iz_global - z0 + 1) mod mc (z0 = this device's first global
+    z-cell): s = 0 marks a LEFT emigrant, s in [1, nz] an owned layer,
+    s = nz + 1 a RIGHT emigrant, s > nz + 1 a lost particle (moved more
+    than one layer since the last rebuild — impossible under the skin
+    protocol, dropped and caught by the global count check). The key
+    x + mc*(y + mc*s) sorts emigrants below/above the owned key range
+    [mc^2, mc^2*(nz+1)), which sort_expand(key_base=mc^2) then drops.
+    Invalid slots get the park key mc^2*(nz+2)."""
+    mc = spec.mc
+    inv = jnp.float32(1.0 / spec.cell_size)
+    co = jnp.clip(jnp.floor(pos * inv).astype(jnp.int32), 0, mc - 1)
+    ix, iy, iz = co[0], co[1], co[2]
+    s = jnp.mod(iz - z0_cell + 1, mc)
+    key = ix + mc * (iy + mc * s)
+    return jnp.where(valid, key, jnp.int32(mc * mc * (spec.nz + 2)))
+
+
+def slab_sort_expand(keys: jnp.ndarray, chans: tuple, spec: SlabSpec,
+                     interpret: bool = False):
+    """sort_expand with the slab key layout (owned rows start at key
+    mc^2, after the left-emigrant block)."""
+    return sort_expand(keys, chans, spec, interpret,
+                       key_base=spec.mc * spec.mc)
+
+
+__all__ = [
+    "SlabSpec", "slab_forces_half", "slab_lists_half", "slab_keys",
+    "slab_sort_expand", "DenseState",
+]

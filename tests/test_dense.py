@@ -128,17 +128,9 @@ def test_pallas_kernels_match_reference_interpret():
             np.asarray(f_h[i])[vm], np.asarray(f_r[i])[vm], rtol=1e-4,
             atol=5e-3,
         )
-    c_k, masks = pallas_force.dense_counts(
-        state.pos, valid, spec, 2.8, emit_masks=True, interpret=True
-    )
+    c_k = pallas_force.dense_counts(state.pos, valid, spec, 2.8, True)
     c_r = dense_ref.sweep_reference(state, spec, 2.8, want_forces=False)
     np.testing.assert_array_equal(np.asarray(c_k)[vm], np.asarray(c_r)[vm])
-    # bitmask popcounts must reproduce the counts
-    m = np.asarray(masks).astype(np.uint32)
-    pop = np.zeros_like(np.asarray(c_k))
-    for o in range(27):
-        pop += np.vectorize(lambda v: bin(v).count("1"))(m[:, o]).astype(np.int32)
-    np.testing.assert_array_equal(pop[vm], np.asarray(c_k)[vm])
 
 
 @pytest.mark.slow
@@ -156,6 +148,94 @@ def test_half_count_kernel_matches_full():
     tf = int(np.asarray(jnp.sum(jnp.where(vm, full, 0))))
     assert th == tf // 2
     assert int(np.asarray(jnp.max(jnp.where(vm, 0, half)))) == 0
+
+
+@pytest.mark.slow
+def test_half_force_kernel_matches_reference_interpret():
+    """Half-sweep Newton-3 force kernel (interpret mode) vs the full
+    symmetric jnp reference: forces within fp32 tol, zero leakage onto
+    invalid slots, once-per-pair PE totals match."""
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    state, spec, box, pos = _dense_state(key=11)
+    valid = state.valid().astype(jnp.float32)
+    vmj = state.valid()
+    vm = np.asarray(state.pid) >= 0
+    f_r, pe_r = dense_ref.sweep_reference(state, spec, 2.5, want_forces=True)
+    scale = max(float(jnp.max(jnp.abs(f_r))), 1.0)
+    for want_pe in (True, False):
+        f_h, pe_h = pallas_force.dense_forces_half(
+            state.pos, valid, spec, 2.5, True, want_pe
+        )
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(f_h[i])[vm], np.asarray(f_r[i])[vm],
+                atol=2e-4 * scale,
+            )
+        assert float(jnp.max(jnp.where(vmj[None], 0.0, jnp.abs(f_h)))) == 0.0
+        if want_pe:
+            pe_full = 0.5 * float(jnp.sum(jnp.where(vmj, pe_r, 0.0)))
+            pe_half = float(jnp.sum(jnp.where(vmj, pe_h, 0.0)))
+            np.testing.assert_allclose(pe_half, pe_full, rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_half_list_artifact_decodes_to_oracle_pairs():
+    """The packed cluster bitmasks ARE the consumable neighbor list: decode
+    every set bit to a (pid_i, pid_j) pair; the decoded set must equal the
+    O(N^2) pair set exactly, with each pair emitted exactly once. Pure
+    lattice -> distances are arithmetic-path independent."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
+                                                       MASK_BITS)
+
+    state, spec, box, pos = _dense_state()  # pure lattice
+    valid = state.valid().astype(jnp.float32)
+    counts, masks = pallas_force.dense_lists_half(
+        state.pos, valid, spec, 2.8, True
+    )
+    vmj = state.valid()
+    total = int(np.asarray(jnp.sum(jnp.where(vmj, counts, 0))))
+    # popcount over all words/offsets == counts, per slot
+    pop = jnp.sum(jax.lax.population_count(masks), axis=(0, 1))
+    np.testing.assert_array_equal(
+        np.asarray(pop)[np.asarray(vmj)], np.asarray(counts)[np.asarray(vmj)]
+    )
+
+    m = np.asarray(masks)  # (5, words, R, mc, cap)
+    pid = np.asarray(state.pid)
+    mc, cap = spec.mc, spec.cap
+    pairs = []
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        for w in range(m.shape[1]):
+            for b in range(MASK_BITS):
+                lane = MASK_BITS * w + b
+                if lane >= 3 * cap:
+                    break
+                dx = lane // cap - 1
+                j = lane % cap
+                rr, xx, ii = np.nonzero((m[k, w] >> b) & 1)
+                z, y = rr // mc, rr % mc
+                prow = ((z + dz) % mc) * mc + (y + dy) % mc
+                pi = pid[rr, xx, ii]
+                pj = pid[prow, (xx + dx) % mc, j]
+                assert (pi >= 0).all() and (pj >= 0).all(), "parked slot hit"
+                pairs.extend(
+                    zip(np.minimum(pi, pj).tolist(),
+                        np.maximum(pi, pj).tolist())
+                )
+    assert len(pairs) == total
+    decoded = set(pairs)
+    assert len(decoded) == total, "duplicate pair emission"
+
+    p = np.asarray(pos, np.float32)
+    d = p[:, None, :] - p[None, :, :]
+    d -= np.float32(box.L) * np.round(d / np.float32(box.L))
+    r2 = (d * d).sum(-1)
+    iu = np.triu_indices(p.shape[0], 1)
+    hit = r2[iu] < np.float32(2.8) ** 2
+    want = set(zip(iu[0][hit].tolist(), iu[1][hit].tolist()))
+    assert decoded == want
 
 
 def test_dense_simulator_nve_jnp():
@@ -187,8 +267,6 @@ def test_dense_overflow_detection():
     """Clustered configuration exceeding cap must flip overflow, then build
     recovers by growing cap."""
     n = 256
-    box = Box.from_density(n, 1.0)
-    spec_ok = True
     cfg = MDConfig(n=n, rho=1.0, rc=1.5, skin=0.2)  # mc = 4 at rs 1.7
     sim = DenseSimulator(cfg, cap=16, kernel_impl="jnp")
     # all particles into one corner -> cell overflow at cap=8
@@ -204,7 +282,6 @@ def test_dense_overflow_detection():
     carry = sim.build(system)  # must grow until everything fits
     assert sim.cap >= 256
     assert int(np.asarray(carry.state.valid().sum())) == n
-    del box, spec_ok
 
 
 def spec_cell(sim):

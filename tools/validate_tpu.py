@@ -71,8 +71,7 @@ def main():
                                    True))),
     )
 
-    c_k, _ = pallas_force.dense_counts(st0.pos, valid0, spec0, 2.8,
-                                       False, False)
+    c_k = pallas_force.dense_counts(st0.pos, valid0, spec0, 2.8, False)
     pairs_k = int(jnp.sum(jnp.where(vm0, c_k, 0))) // 2
     pairs_o = int(oracle.pair_count(system.pos, box, 2.8))
     ok &= gate("pair-count parity vs oracle",
@@ -82,6 +81,33 @@ def main():
     pairs_h = int(jnp.sum(jnp.where(vm0, c_h, 0)))
     ok &= gate("half-sweep count parity vs oracle",
                pairs_h == pairs_o, f"({pairs_h} vs {pairs_o})")
+
+    # list artifact at production cap: one-pass masks+counts; popcounts of
+    # the packed words must reproduce the counts bit-for-bit
+    c_l, masks = pallas_force.dense_lists_half(st0.pos, valid0, spec0, 2.8,
+                                               False)
+    ok &= gate("list kernel counts == half counts",
+               bool(jnp.all(jnp.where(vm0, c_l == c_h, True))))
+    pop = jnp.sum(jax.lax.population_count(masks), axis=(0, 1))
+    ok &= gate(f"mask popcount == counts (cap={spec0.cap}, "
+               f"words={pallas_force.mask_words(spec0.cap)})",
+               bool(jnp.all(jnp.where(vm0, pop == c_l, True))))
+
+    # half-sweep Newton-3 force kernel (the hot step path)
+    f_r, pe_ref = dense_ref.sweep_reference(st0, spec0, 2.5, want_forces=True)
+    scale0 = float(jnp.max(jnp.abs(f_r)))
+    for wpe, nm in ((True, "exact divide"), (False, "NR reciprocal")):
+        f_hn, pe_hn = pallas_force.dense_forces_half(
+            st0.pos, valid0, spec0, 2.5, False, wpe)
+        dfh = float(jnp.max(jnp.where(vm0[None], jnp.abs(f_hn - f_r), 0.0)))
+        ok &= gate(f"half-sweep N3 force ({nm}) vs reference",
+                   dfh <= 2e-4 * max(scale0, 1.0), f"(max |dF| {dfh:.2e})")
+        if wpe:
+            pe_f = 0.5 * float(jnp.sum(jnp.where(vm0, pe_ref, 0.0)))
+            pe_h2 = float(jnp.sum(jnp.where(vm0, pe_hn, 0.0)))
+            ok &= gate("half-sweep PE == full PE",
+                       abs(pe_h2 - pe_f) <= 1e-4 * abs(pe_f),
+                       f"({pe_h2:.3f} vs {pe_f:.3f})")
 
     f_k, pe_k = pallas_force.dense_forces(st0.pos, valid0, spec0, 2.5,
                                           False, True)
@@ -95,15 +121,15 @@ def main():
                                        False, False)
     dh = float(jnp.max(jnp.where(vm0[None], jnp.abs(f_h - f_r), 0.0)))
     ok &= gate("force kernel (NR reciprocal) vs reference",
-               dh <= 1e-3 * max(scale, 1.0), f"(max |dF| {dh:.2e})")
+               dh <= 2e-4 * max(scale, 1.0), f"(max |dF| {dh:.2e})")
 
     # --- large-N gates -----------------------------------------------------
     cfg = MDConfig(n=args.n, dt=0.001, temperature=1.0)
     sim = DenseSimulator(cfg)
     carry = sim.init(jax.random.PRNGKey(0))
-    cl, _ = pallas_force.dense_counts(
+    cl = pallas_force.dense_counts(
         carry.state.pos, carry.state.valid().astype(jnp.float32),
-        sim.spec, cfg.rs, False, False,
+        sim.spec, cfg.rs, False,
     )
     cr = dense_ref.sweep_reference(carry.state, sim.spec, cfg.rs,
                                    want_forces=False)
