@@ -190,13 +190,17 @@ def main() -> None:
         else:
             build_ms, steps_per_s, pairs, extra = bench_xla(cfg, args)
 
-    base_path = pathlib.Path(__file__).parent / "baseline_cpp" / "baseline.json"
+    # vs_baseline only against a MEASURED CPU point at the same N (no
+    # linear-in-N extrapolation — VERDICT r1 "measure, don't extrapolate");
+    # baseline_cpp/ holds one JSON per measured N
     vs = None
     base = None
-    if base_path.exists():
-        base = json.loads(base_path.read_text())
-        scale = cfg.n / base["n"]  # linear-in-N extrapolation off-headline
-        vs = round(base["build_ms"] * scale / build_ms, 3)
+    for f in (pathlib.Path(__file__).parent / "baseline_cpp").glob("baseline*.json"):
+        b = json.loads(f.read_text())
+        if b["n"] == cfg.n:
+            base = b
+            vs = round(b["build_ms"] / build_ms, 3)
+            break
 
     result = {
         "metric": f"neighbor_list_build_ms_n{cfg.n}",

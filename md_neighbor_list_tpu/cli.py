@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--temperature", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--engine", default="auto",
-                    choices=["auto", "xla", "dense", "slab"])
+                    choices=["auto", "xla", "dense", "slab", "dense_slab"])
     ap.add_argument("--check-parity", action="store_true",
                     help="pair-count + force parity vs the O(N^2) oracle")
     ap.add_argument("--save", default=None, help="checkpoint path (.npz)")
@@ -59,19 +59,38 @@ def main(argv=None) -> int:
 
     engine = args.engine
     if engine == "auto":
-        engine = "slab" if cfg.mesh_devices > 1 else (
+        engine = "dense_slab" if cfg.mesh_devices > 1 else (
             "dense" if jax.default_backend() not in ("cpu",) else "xla"
         )
+    if engine == "dense_slab":
+        # the dense grid needs P | mc; fall back to the XLA slab engine
+        # for box/device combinations it cannot tile
+        from md_neighbor_list_tpu.parallel.dense_slab import make_slab_spec
+        from md_neighbor_list_tpu.core.box import Box
+
+        try:
+            make_slab_spec(Box.from_density(cfg.n, cfg.rho), cfg.rs,
+                           cfg.mesh_devices)
+        except ValueError as e:
+            logger.log("engine_fallback", wanted="dense_slab",
+                       reason=str(e))
+            engine = "slab"
     logger.log("start", preset=args.preset, engine=engine, n=cfg.n,
                steps=cfg.steps, device=str(jax.devices()[0]))
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
 
-    if engine == "slab":
-        from md_neighbor_list_tpu.parallel.slab import SlabSimulator
+    if engine in ("slab", "dense_slab"):
+        if engine == "dense_slab":
+            from md_neighbor_list_tpu.parallel.dense_slab import (
+                DenseSlabSimulator)
 
-        sim = SlabSimulator(cfg)
+            sim = DenseSlabSimulator(cfg)
+        else:
+            from md_neighbor_list_tpu.parallel.slab import SlabSimulator
+
+            sim = SlabSimulator(cfg)
         state = sim.init(key)
         ke0, pe0 = sim.energies(state)
         t1 = time.time()

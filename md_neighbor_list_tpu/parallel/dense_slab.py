@@ -386,7 +386,13 @@ class DenseSlabSimulator:
 
     def build(self, system: System) -> SlabCarry:
         while True:
-            state = self._initial_build(self._scatter(system))
+            try:
+                scattered = self._scatter(system)
+            except ValueError:  # slab slot capacity too small: grow + retry
+                self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+                self._compile()
+                continue
+            state = self._initial_build(scattered)
             if not bool(np.any(np.asarray(state.overflow))):
                 return state
             self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8

@@ -1,0 +1,75 @@
+"""Per-phase cost breakdown of the neighbor-list build on the real TPU:
+sort+expand (rebuild), the one-pass list kernel, counts-only, and the
+half-sweep force pass — at each --n. Feeds COMPONENTS.md's cost table."""
+import argparse, sys, pathlib, time
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+from md_neighbor_list_tpu.core.system import init_lattice
+from md_neighbor_list_tpu.ops import pallas_force
+from md_neighbor_list_tpu.ops.dense_cells import (from_packed, make_spec,
+                                                  rebuild_dense)
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--n", type=int, default=1_000_000)
+ap.add_argument("--reps", type=int, default=10)
+args = ap.parse_args()
+
+print(f"device: {jax.devices()[0]}  N={args.n}", flush=True)
+system, box = init_lattice(args.n, 1.0, jax.random.PRNGKey(0), 1.0)
+spec = make_spec(box, 2.8, cap=40)
+st = from_packed(system.pos, system.vel, system.pid, spec)
+st, _ = rebuild_dense(st, spec, False)
+v32 = st.valid().astype(jnp.float32)
+reps = args.reps
+
+
+def timed(name, fn):
+    @jax.jit
+    def chained(state):
+        def body(i, acc):
+            s = state._replace(
+                pos=state.pos + (i % 2).astype(jnp.float32) * 1e-6
+            )
+            return acc + fn(s)
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((), jnp.float32))
+    float(np.asarray(chained(st)))
+    t0 = time.perf_counter()
+    float(np.asarray(chained(st)))
+    ms = (time.perf_counter() - t0) * 1e3 / reps
+    print(f"{name:28s}: {ms:8.2f} ms", flush=True)
+    return ms
+
+
+def f_rebuild(s):
+    new, _ = rebuild_dense(s, spec, False)
+    return jnp.sum(new.pos[0, 0, 0])
+
+def f_lists(s):
+    c, m = pallas_force.dense_lists_half(s.pos, v32, spec, 2.8, False)
+    return jnp.sum(c).astype(jnp.float32) + m[0, 0, 0, 0, 0] * 0.0
+
+def f_counts(s):
+    return jnp.sum(
+        pallas_force.dense_counts_half(s.pos, v32, spec, 2.8, False)
+    ).astype(jnp.float32)
+
+def f_force(s):
+    f, _ = pallas_force.dense_forces_half(s.pos, v32, spec, 2.5, False,
+                                          False)
+    return jnp.sum(f[0, 0, 0, 0])
+
+def f_build(s):
+    new, _ = rebuild_dense(s, spec, False)
+    c, m = pallas_force.dense_lists_half(
+        new.pos, new.valid().astype(jnp.float32), spec, 2.8, False)
+    return jnp.sum(c).astype(jnp.float32) + m[0, 0, 0, 0, 0] * 0.0
+
+timed("rebuild (sort+expand)", f_rebuild)
+timed("half lists (masks+counts)", f_lists)
+timed("half counts only", f_counts)
+timed("half+N3 force pass", f_force)
+timed("full build (rebuild+lists)", f_build)
+print("DONE", flush=True)

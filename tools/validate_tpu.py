@@ -123,6 +123,54 @@ def main():
     ok &= gate("force kernel (NR reciprocal) vs reference",
                dh <= 2e-4 * max(scale, 1.0), f"(max |dF| {dh:.2e})")
 
+    # --- slab kernels on hardware (P virtual slabs emulated serially) -----
+    # The distributed engine's shard_map protocol is CPU-tested
+    # (tests/test_dense_slab.py); here the SLAB KERNELS themselves must
+    # compile under real Mosaic and reproduce the cube kernels exactly.
+    from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
+                                                       slab_forces_half,
+                                                       slab_lists_half)
+
+    p_emul = 3
+    mc0 = spec0.mc
+    assert mc0 % p_emul == 0, f"pick p_emul dividing mc={mc0}"
+    nz0 = mc0 // p_emul
+    sspec = SlabSpec(mc=mc0, nz=nz0, cap=spec0.cap, L=spec0.L,
+                     cell_size=spec0.cell_size)
+    c_cube = pallas_force.dense_counts_half(st0.pos, valid0, spec0, 2.8,
+                                            False)
+    f_cube, _ = pallas_force.dense_forces_half(st0.pos, valid0, spec0, 2.5,
+                                               False, False)
+    f_parts, seams, c_parts = [], [], []
+    for d in range(p_emul):
+        own = slice(d * nz0 * mc0, (d + 1) * nz0 * mc0)
+        g = ((d + 1) * nz0) % mc0
+        gh = slice(g * mc0, (g + 1) * mc0)
+        gpos = st0.pos[:, gh]
+        if (d + 1) * nz0 >= mc0:  # ring seam: ghost layer wraps to z ~ 0
+            gpos = gpos.at[2].add(jnp.float32(spec0.L))
+        ext_pos = jnp.concatenate([st0.pos[:, own], gpos], axis=1)
+        ext_v = jnp.concatenate([valid0[own], valid0[gh]], axis=0)
+        fo, se, _ = slab_forces_half(ext_pos, ext_v, sspec, 2.5, False,
+                                     False)
+        cs, ms = slab_lists_half(ext_pos, ext_v, sspec, 2.8, False)
+        pops = jnp.sum(jax.lax.population_count(ms), axis=(0, 1))
+        assert bool(jnp.all(jnp.where(vm0[own], pops == cs, True)))
+        f_parts.append(fo)
+        seams.append(se)
+        c_parts.append(cs)
+    for d in range(p_emul):  # seam of device d lands on device d+1's layer 0
+        f_parts[(d + 1) % p_emul] = (
+            f_parts[(d + 1) % p_emul].at[:, :mc0].add(seams[d])
+        )
+    f_slab = jnp.concatenate(f_parts, axis=1)
+    c_slab = jnp.concatenate(c_parts, axis=0)
+    ok &= gate(f"slab count kernel == cube (P={p_emul} emulated)",
+               bool(jnp.all(jnp.where(vm0, c_slab == c_cube, True))))
+    dfs = float(jnp.max(jnp.where(vm0[None], jnp.abs(f_slab - f_cube), 0.0)))
+    ok &= gate(f"slab force kernel == cube (P={p_emul} emulated)",
+               dfs <= 1e-5 * max(scale0, 1.0), f"(max |dF| {dfs:.2e})")
+
     # --- large-N gates -----------------------------------------------------
     cfg = MDConfig(n=args.n, dt=0.001, temperature=1.0)
     sim = DenseSimulator(cfg)
