@@ -44,7 +44,11 @@ def bench_pallas(cfg, args):
     from md_neighbor_list_tpu.ops import pallas_force
 
     impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
-    sim = DenseSimulator(cfg, kernel_impl=impl)
+    # cap=32 is the measured occupancy envelope at rho=1 for N=1M (max 31
+    # through the melt, tools/tpu_occupancy_probe.py); pair-eval cost
+    # scales with cap, and an overflow only triggers grow+rollback
+    cap = args.cap or (32 if cfg.n <= 2_000_000 else 40)
+    sim = DenseSimulator(cfg, cap=cap, kernel_impl=impl)
     spec = sim.spec
     log(f"dense spec: mc={spec.mc} cap={spec.cap} slots={spec.slots} "
         f"impl={impl}")
@@ -161,6 +165,11 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=50,
                     help="device-side steps per jitted chunk")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--cap", type=int, default=0,
+                    help="dense cell capacity (grown automatically on "
+                    "overflow); 0 = auto: 32 below N=2M (measured "
+                    "occupancy ceiling 31 at rho=1), 40 above (max-cell "
+                    "statistics over more cells)")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the step loop")

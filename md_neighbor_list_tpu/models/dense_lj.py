@@ -32,8 +32,9 @@ from md_neighbor_list_tpu.core.config import MDConfig
 from md_neighbor_list_tpu.core.system import System, init_lattice, init_random
 from md_neighbor_list_tpu.ops import dense_ref, pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
-                                                  from_packed, make_spec,
-                                                  rebuild_dense, to_packed)
+                                                  from_packed, grow_cap,
+                                                  make_spec, rebuild_dense,
+                                                  to_packed)
 
 
 class DenseCarry(NamedTuple):
@@ -200,7 +201,7 @@ class DenseSimulator:
             carry = self._initial_build(state)
             if not bool(np.asarray(carry.overflow)):
                 return carry
-            self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+            self.cap = grow_cap(self.cap)
             self._compile()
 
     def run(self, carry: DenseCarry, nsteps: int, chunk: int = 100) -> DenseCarry:
@@ -216,7 +217,7 @@ class DenseSimulator:
                     force=jnp.zeros_like(jnp.asarray(pos)),
                     pid=jnp.arange(self.config.n, dtype=jnp.int32),
                 )
-                self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+                self.cap = grow_cap(self.cap)
                 self._compile()
                 carry = self.build(system)
                 continue

@@ -74,6 +74,15 @@ class DenseSpec:
         return ((w + 127) // 128) * 128 + 128
 
 
+def grow_cap(cap: int) -> int:
+    """Next cell capacity after an overflow: +25% (at least one 8-sublane
+    tile), rounded to the tile. Gentle on purpose — the measured occupancy
+    ceiling at rho=1 is ~31 (cap=32 'probe' in tools/), so the common
+    growth is exactly one step (32 -> 40) and pair-eval cost, which scales
+    with cap, never overshoots."""
+    return ((cap + max(8, cap // 4) + 7) // 8) * 8
+
+
 def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
     mc = max(int(box.L / rs), 1)
     if mc < 3:

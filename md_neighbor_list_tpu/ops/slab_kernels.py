@@ -42,15 +42,20 @@ from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
 class SlabSpec:
     """Static geometry of one device's slab of the dense layout.
 
-    ``mc`` cells per dimension in x and y (the full box); ``nz`` OWNED
-    z-layers on this device (global z cells = P * nz; the cell size is
-    L / (P * nz), identical in all dimensions)."""
+    Cells are ANISOTROPIC: x/y use the finest valid grid (mc = floor(L/rs)
+    cells, cell_size = L/mc) while z uses mc_z = P*nz cells (cell_z =
+    L/mc_z >= rs) — rounding the cell count down to a multiple of P (a
+    shard_map uniformity requirement) then only coarsens ONE dimension,
+    costing ~(cell_z/cell)x extra pair evals instead of that ratio cubed.
+    The sweep stays a 27-neighborhood: each dimension's cell edge >= rs."""
 
-    mc: int  # x/y cells per dim (full box) — also global z cells
+    mc: int  # x/y cells per dim (full box)
     nz: int  # owned z-layers on this device
+    mc_z: int  # GLOBAL z cells = P * nz
     cap: int  # slots per cell
     L: float  # box side
-    cell_size: float  # L / mc  (>= search radius)
+    cell_size: float  # L / mc  (x/y; >= search radius)
+    cell_z: float  # L / mc_z (z;   >= search radius)
 
     @property
     def rows(self) -> int:  # owned (z, y) cell rows
@@ -184,19 +189,22 @@ def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,
               z0_cell: jnp.ndarray) -> jnp.ndarray:
     """Per-slot sort key for the slab rebuild, over WRAPPED positions.
 
-    With s = (iz_global - z0 + 1) mod mc (z0 = this device's first global
-    z-cell): s = 0 marks a LEFT emigrant, s in [1, nz] an owned layer,
-    s = nz + 1 a RIGHT emigrant, s > nz + 1 a lost particle (moved more
-    than one layer since the last rebuild — impossible under the skin
+    With s = (iz_global - z0 + 1) mod mc_z (z0 = this device's first
+    global z-cell): s = 0 marks a LEFT emigrant, s in [1, nz] an owned
+    layer, s = nz + 1 a RIGHT emigrant, s > nz + 1 a lost particle (moved
+    more than one layer since the last rebuild — impossible under the skin
     protocol, dropped and caught by the global count check). The key
     x + mc*(y + mc*s) sorts emigrants below/above the owned key range
     [mc^2, mc^2*(nz+1)), which sort_expand(key_base=mc^2) then drops.
     Invalid slots get the park key mc^2*(nz+2)."""
     mc = spec.mc
     inv = jnp.float32(1.0 / spec.cell_size)
-    co = jnp.clip(jnp.floor(pos * inv).astype(jnp.int32), 0, mc - 1)
-    ix, iy, iz = co[0], co[1], co[2]
-    s = jnp.mod(iz - z0_cell + 1, mc)
+    inv_z = jnp.float32(1.0 / spec.cell_z)
+    ix = jnp.clip(jnp.floor(pos[0] * inv).astype(jnp.int32), 0, mc - 1)
+    iy = jnp.clip(jnp.floor(pos[1] * inv).astype(jnp.int32), 0, mc - 1)
+    iz = jnp.clip(jnp.floor(pos[2] * inv_z).astype(jnp.int32), 0,
+                  spec.mc_z - 1)
+    s = jnp.mod(iz - z0_cell + 1, spec.mc_z)
     key = ix + mc * (iy + mc * s)
     return jnp.where(valid, key, jnp.int32(mc * mc * (spec.nz + 2)))
 

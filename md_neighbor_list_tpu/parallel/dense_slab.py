@@ -48,7 +48,7 @@ from jax import lax
 from md_neighbor_list_tpu.core.box import Box
 from md_neighbor_list_tpu.core.config import MDConfig
 from md_neighbor_list_tpu.core.system import System, init_lattice
-from md_neighbor_list_tpu.ops.dense_cells import DenseState
+from md_neighbor_list_tpu.ops.dense_cells import grow_cap, DenseState
 from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
                                                    slab_forces_half,
                                                    slab_keys,
@@ -59,18 +59,20 @@ from md_neighbor_list_tpu.parallel.mesh import (AXIS, make_mesh,
 
 
 def make_slab_spec(box: Box, rs: float, p: int, cap: int = 40) -> SlabSpec:
-    """Global cell count rounded DOWN to a multiple of P (uniform slabs are
-    a shard_map requirement; the coarser cells stay >= rs so the 27-sweep
-    neighborhood remains sufficient)."""
+    """x/y keep the finest valid grid; the GLOBAL z cell count is rounded
+    DOWN to a multiple of P (uniform slabs are a shard_map requirement),
+    coarsening only the z edge — still >= rs, so the 27-sweep
+    neighborhood remains sufficient (see SlabSpec)."""
     mc = max(int(box.L / rs), 1)
-    mc = (mc // p) * p
-    if mc < max(3, p):
+    mc_z = (mc // p) * p
+    if mc < 3 or mc_z < p:
         raise ValueError(
-            f"box too small for a {p}-slab dense grid (mc={mc} at "
-            f"L={box.L:.3g}, rs={rs}); fewer devices or more particles"
+            f"box too small for a {p}-slab dense grid (mc={mc}, "
+            f"mc_z={mc_z} at L={box.L:.3g}, rs={rs}); fewer devices or "
+            "more particles"
         )
-    return SlabSpec(mc=mc, nz=mc // p, cap=cap, L=box.L,
-                    cell_size=box.L / mc)
+    return SlabSpec(mc=mc, nz=mc_z // p, mc_z=mc_z, cap=cap, L=box.L,
+                    cell_size=box.L / mc, cell_z=box.L / mc_z)
 
 
 class SlabCarry(NamedTuple):
@@ -321,7 +323,7 @@ class DenseSlabSimulator:
         vel = np.asarray(system.vel)
         pid = np.asarray(system.pid)
         dev = np.clip(
-            (pos[:, 2] / spec.cell_size).astype(np.int64), 0, mc - 1
+            (pos[:, 2] / spec.cell_z).astype(np.int64), 0, spec.mc_z - 1
         ) // nz
 
         g_pos = np.zeros((p, 3, slots), np.float32)
@@ -389,13 +391,13 @@ class DenseSlabSimulator:
             try:
                 scattered = self._scatter(system)
             except ValueError:  # slab slot capacity too small: grow + retry
-                self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+                self.cap = grow_cap(self.cap)
                 self._compile()
                 continue
             state = self._initial_build(scattered)
             if not bool(np.any(np.asarray(state.overflow))):
                 return state
-            self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+            self.cap = grow_cap(self.cap)
             self._compile()
 
     def run(self, state: SlabCarry, nsteps: int, chunk: int = 100) -> SlabCarry:
@@ -406,7 +408,7 @@ class DenseSlabSimulator:
             state = self._run_chunk(state, this)
             if bool(np.any(np.asarray(state.overflow))):
                 system = self.gather(snapshot)
-                self.cap = ((int(self.cap * 1.5) + 8 + 7) // 8) * 8
+                self.cap = grow_cap(self.cap)
                 self._compile()
                 state = self.build(system)
                 continue

@@ -135,8 +135,8 @@ def main():
     mc0 = spec0.mc
     assert mc0 % p_emul == 0, f"pick p_emul dividing mc={mc0}"
     nz0 = mc0 // p_emul
-    sspec = SlabSpec(mc=mc0, nz=nz0, cap=spec0.cap, L=spec0.L,
-                     cell_size=spec0.cell_size)
+    sspec = SlabSpec(mc=mc0, nz=nz0, mc_z=mc0, cap=spec0.cap, L=spec0.L,
+                     cell_size=spec0.cell_size, cell_z=spec0.cell_size)
     c_cube = pallas_force.dense_counts_half(st0.pos, valid0, spec0, 2.8,
                                             False)
     f_cube, _ = pallas_force.dense_forces_half(st0.pos, valid0, spec0, 2.5,
