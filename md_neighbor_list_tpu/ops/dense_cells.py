@@ -210,21 +210,48 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     out_pid[0] = jnp.where(slot_valid, pid, -1)
 
 
+_RS_STRIDE = 128  # per-level subsample stride of the hierarchical search
+
+
+def _count_less(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """#keys < q for each query, keys sorted ascending — hierarchical:
+    recurse on every 128th key to bracket each query into a 129-element
+    window (sub[j-1] < q <= sub[j] pins p = #keys < q into
+    [128(j-1), 128j]), then one batched gather + compare finishes inside
+    the bracket. Each level is ONE gather round over contiguous runs, vs
+    searchsorted's ~log2(S) dependent gather rounds ("scan_unrolled":
+    3.2 ms at S=1.7M, 4.4 ms at 14.3M; this path ~0.3 ms) — and
+    "compare_all" is O(Q*S) (61 ms at 8M), "sort" a full extra merge."""
+    S = sorted_keys.shape[0]
+    if S <= 64 * _RS_STRIDE:
+        return jnp.searchsorted(
+            sorted_keys, queries, method="compare_all"
+        ).astype(jnp.int32)
+    sub = sorted_keys[:: _RS_STRIDE]
+    coarse = _count_less(sub, queries)
+    base = jnp.maximum(coarse - 1, 0) * _RS_STRIDE
+    guard = jnp.full((_RS_STRIDE,), sorted_keys[-1], sorted_keys.dtype)
+    keys_g = jnp.concatenate([sorted_keys, guard])
+    win = keys_g[base[:, None]
+                 + jnp.arange(_RS_STRIDE + 1, dtype=jnp.int32)[None, :]]
+    # the guard repeats the last key: any q > keys[-1] already counted all
+    # true keys inside its window (base = S - 128 at most... the bracket
+    # property caps in-window hits at p - base), and repeated-last-key
+    # guards < q would overcount — so clamp to S
+    return jnp.minimum(
+        base + jnp.sum((win < queries[:, None]).astype(jnp.int32), axis=1),
+        jnp.int32(S),
+    )
+
+
 def _row_starts(sorted_keys: jnp.ndarray, spec,
                 key_base: int = 0) -> jnp.ndarray:
     """(R+1,) first sorted index of each (z, y) row: row r's cells span keys
-    [key_base + r*mc, key_base + (r+1)*mc), so start[r] = #keys < that.
-
-    method="scan_unrolled" (unrolled vectorized binary search over the
-    queries: ~log2(S) chained small gathers) measures fastest at every
-    scale on this chip — 3.2 ms at S=1.7M, 4.4 ms at S=14.3M — where
-    "compare_all" is O(R*S) (61 ms at 8M: it dominated the rebuild) and
-    "sort" pays a full extra merge sort (150 ms at 8M)."""
+    [key_base + r*mc, key_base + (r+1)*mc), so start[r] = #keys < that
+    (hierarchical bracket search, see _count_less)."""
     queries = (key_base
                + jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc)
-    return jnp.searchsorted(
-        sorted_keys, queries, method="scan_unrolled"
-    ).astype(jnp.int32)
+    return _count_less(sorted_keys, queries).astype(jnp.int32)
 
 
 def sort_expand(keys: jnp.ndarray, chans: tuple, spec,

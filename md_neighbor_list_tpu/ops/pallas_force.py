@@ -9,21 +9,23 @@ as Pallas kernels"). Division of labor:
   image shifts baked in (XLA relayouts/concats freely; Mosaic cannot
   lane-concatenate vectors with mismatched offsets).
 
-  Pallas: grid (z, y, k) — one program per cell-row per (dz, dy) neighbor
-  offset. The k axis is a GRID dimension (not an unrolled in-kernel loop) so
-  only one offset's (mc, cap, 3cap) temporaries are live at a time (the
-  unrolled form exceeds the 16 MB VMEM stack once cap grows), and the
-  output blocks' index_map ignores k, so Pallas keeps them resident in VMEM
-  across the innermost grid steps — the canonical revisit-accumulate
-  pattern. All pair math is masked VPU work: no gathers, no scatters, no
-  compaction (the reference's AVX-512 compress-store becomes masking over
-  fixed lanes, SURVEY.md §9).
+  Pallas: the HALF-SWEEP kernels (the hot path) run a MERGED grid (z, y)
+  with all five (dz, dy) offset rows unrolled in-kernel — the per-program
+  fixed cost (~2 us: launch + block bookkeeping) made the round-1
+  one-offset-per-program grid pay ~10 ms of pure overhead per pass at
+  N=1M. Intermediate temporaries are freed between unrolled rows because
+  each row's outputs are written (or accumulated) before the next row
+  starts. The FULL-sweep parity kernels keep k on the grid with
+  k-revisited output blocks (the canonical revisit-accumulate pattern) —
+  they are untimed validation passes. All pair math is masked VPU work:
+  no gathers, no scatters, no compaction (the reference's AVX-512
+  compress-store becomes masking over fixed lanes, SURVEY.md §9).
 
 The half-sweep list kernel (dense_lists_half) emits packed cluster
 bitmasks plus half counts in one pass — a complete, consumable pair list
 in cluster-compressed form (cf. GROMACS cluster lists, PAPERS.md:9); the
 half-sweep force kernel (dense_forces_half) evaluates each pair once and
-scatters the Newton-3 reaction via k-indexed output blocks + XLA rolls.
+scatters the Newton-3 reaction via per-offset output channels + XLA rolls.
 """
 
 from __future__ import annotations
@@ -42,9 +44,11 @@ MASK_BITS = 24  # bits per packed mask word (exact-in-f32 packing, see below)
 
 
 def mask_words(cap: int) -> int:
-    """Packed mask words per (slot, offset-row): one bit per window lane
-    (3*cap lanes), MASK_BITS bits per word."""
-    return (3 * cap + MASK_BITS - 1) // MASK_BITS
+    """Packed mask words per (window-lane, offset-row): one bit per OWN
+    slot (cap bits), MASK_BITS bits per word — the slot axis is the packed
+    one (see _list_half_kernel: packing over slots reduces over sublanes,
+    which is the cheap direction)."""
+    return (cap + MASK_BITS - 1) // MASK_BITS
 
 
 def make_windows(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
@@ -215,27 +219,21 @@ def _count_kernel(nm1_ref, n0_ref, np1_ref, own_ref, cnt_ref, *,
 HALF_OFFSETS5 = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def _win_specs_half(spec: DenseSpec):
-    """Specs for the half-sweep count grid (z, y, k): the five (dz, dy)
-    rows with (dz, dy) lexicographically >= (0, 0) — each unordered pair is
-    visited exactly once (the center row additionally halves its x-window
-    in-kernel). 5/9 of the fetches and ~half the pair evals of the full
-    sweep; counts then need no /2."""
+def _win_specs_merged(spec: DenseSpec):
+    """Input specs for the MERGED half-sweep grid (z, y): one block per
+    half offset row, all five visited by ONE program (the (0, 0) block is
+    also the own row). Round-1 kernels put k on the grid — (z, y, k) = 5x
+    the programs; the measured fixed cost per program (~2 us: launch +
+    block bookkeeping) made that 10 ms of pure overhead per pass at N=1M
+    (counts pass: 16.9 ms on the k-grid vs 7.1 ms merged, same math)."""
     mc = spec.mc
     shape = (1, 3, mc, 3 * spec.cap)
-
-    def nbr_map(z, y, k):
-        dz = jnp.where(k >= 2, 1, 0)
-        dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
-        return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
-
-    def own_map(z, y, k):
-        return (z * mc + y, 0, 0, 0)
-
-    return (
-        pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM),
-    )
+    specs = []
+    for dz, dy in HALF_OFFSETS5:
+        def m(z, y, dz=dz, dy=dy):
+            return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
+        specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
+    return specs
 
 
 def _half_center_penalty(spec: DenseSpec):
@@ -249,108 +247,129 @@ def _half_center_penalty(spec: DenseSpec):
     return jnp.where(keep, 0.0, jnp.float32(_PENALTY))
 
 
-def _count_half_kernel(nbr_ref, own_ref, cnt_ref, *, spec: DenseSpec,
-                       radius: float):
-    k = pl.program_id(2)
-    r2p, _, _, _ = _half_pair_geometry(nbr_ref, own_ref, spec)
-
-    @pl.when(k == 0)
-    def _():
-        cnt_ref[0] = jnp.zeros_like(cnt_ref[0])
-
-    hit = r2p < jnp.float32(radius * radius)
-    cnt_ref[0] += jnp.where(hit, 1.0, 0.0).sum(axis=-1)
-
-
-def _half_pair_geometry(nbr_ref, own_ref, spec, zwrap: bool = True):
-    """Shared geometry for the half-sweep (z, y, k) grid over
-    ``HALF_OFFSETS5``: returns (r2p, dxv, dyv, dzv) with the same-cell
-    Newton-3 dedup penalty folded in at k == 0 (see _half_center_penalty).
-    dz >= 0 for every half offset, so the z periodic shift is one-sided.
-    zwrap=False is the slab-decomposition variant: the z axis never wraps
-    locally (ghost layers pad the owned block, with the ring seam's +-L
-    already baked into ghost positions by the receiver)."""
+def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
+                      zwrap: bool = True):
+    """Half-sweep pair geometry for ONE (dz, dy) offset row with the
+    offsets STATIC (the merged kernels unroll ``HALF_OFFSETS5``, so every
+    periodic shift is a compile-time select on the program ids only).
+    Returns (r2p, dxv, dyv, dzv) with the same-cell Newton-3 dedup penalty
+    folded in at (0, 0) (see _half_center_penalty). dz >= 0 for every half
+    offset, so the z periodic shift is one-sided. zwrap=False is the
+    slab-decomposition variant: the z axis never wraps locally (ghost
+    layers pad the owned block, with the ring seam's +-L already baked
+    into ghost positions by the receiver)."""
     mc, cap = spec.mc, spec.cap
     z = pl.program_id(0)
     y = pl.program_id(1)
-    k = pl.program_id(2)
-    dz = jnp.where(k >= 2, 1, 0)
-    dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
     fL = jnp.float32(spec.L)
-    ysh = jnp.where(y + dy >= mc, fL, jnp.where(y + dy < 0, -fL, 0.0))
-
     xi = own_ref[0, 0, :, cap : 2 * cap][:, :, None]
     yi = own_ref[0, 1, :, cap : 2 * cap][:, :, None]
     zi = own_ref[0, 2, :, cap : 2 * cap][:, :, None]
     xj = nbr_ref[0, 0][:, None, :]
-    yj = nbr_ref[0, 1][:, None, :] + ysh
+    yj = nbr_ref[0, 1][:, None, :]
     zj = nbr_ref[0, 2][:, None, :]
-    if zwrap:
-        zj = zj + jnp.where(z + dz >= mc, fL, 0.0)
+    if dy == 1:
+        yj = yj + jnp.where(y + 1 >= mc, fL, 0.0)
+    elif dy == -1:
+        yj = yj + jnp.where(y - 1 < 0, -fL, 0.0)
+    if zwrap and dz == 1:
+        zj = zj + jnp.where(z + 1 >= mc, fL, 0.0)
 
     dxv = xi - xj
     dyv = yi - yj
     dzv = zi - zj
     r2p = dxv * dxv + dyv * dyv + dzv * dzv
-    r2p = r2p + jnp.where(k == 0, _half_center_penalty(spec), 0.0)
+    if (dz, dy) == (0, 0):
+        r2p = r2p + _half_center_penalty(spec)
     return r2p, dxv, dyv, dzv
 
 
-def _force_half_kernel(nbr_ref, own_ref, out_ref, *, spec,
-                       rc: float, want_pe: bool, zwrap: bool = True):
-    """Half-sweep Newton-3 LJ forces: each unordered pair is EVALUATED once
-    (5/9 of the full sweep's work) and contributes to both partners.
+def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
+                       zwrap: bool = True):
+    """Half-sweep Newton-3 LJ forces, all five offset rows in ONE program:
+    each unordered pair is EVALUATED once (5/9 of the full sweep's work)
+    and contributes to both partners.
 
-    Every output block is written exactly once per program (the block index
-    varies with k — mixing a k-revisited accumulator with k-varying outputs
-    crashes Mosaic): channels 0-2 are the own-row partial
-    force, channels 3-5 the reaction force on the (z+dz, y+dy) partner row
-    (already folded from window lanes to partner-cell x slots via two static
-    sublane rolls), channel 6 the once-per-pair potential. The caller sums
-    partials over k and rolls each reaction block by its (dz, dy) — regular
-    XLA ops, no scatter (the TPU answer to the reference's Newton-3
-    scatter-add, SURVEY.md §9)."""
+    Output channels (each written exactly once per program): 0-2 the own
+    row's force INCLUDING the (0,0) row's reaction (its partner row is the
+    own row, so it folds in-kernel); 3k..3k+2 (k = 1..4) the reaction on
+    the (z+dz, y+dy) partner row, already folded from window lanes to
+    partner-cell x slots via two static sublane rolls; channel 15 the
+    once-per-pair potential. The caller rolls each reaction block by its
+    (dz, dy) — regular XLA ops, no scatter (the TPU answer to the
+    reference's Newton-3 scatter-add, SURVEY.md §9)."""
+    nbr_refs = refs[:5]
+    out_ref = refs[5]
+    own_ref = nbr_refs[0]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
     ushift = 4.0 * (s6c * s6c - s6c)
-
-    r2p, dxv, dyv, dzv = _half_pair_geometry(nbr_ref, own_ref, spec, zwrap)
-    hit = r2p < r2cut
-    if want_pe:
-        s2 = 1.0 / r2p
-    else:
-        s2 = pl.reciprocal(r2p, approx=True)
-        s2 = s2 * (2.0 - r2p * s2)
-        s2 = s2 * (2.0 - r2p * s2)
-    s6 = s2 * s2 * s2
-    f = jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
-    px = f * dxv  # (mc, cap, 3cap)
-    py = f * dyv
-    pz = f * dzv
-    out_ref[0, 0] = jnp.sum(px, axis=-1)
-    out_ref[1, 0] = jnp.sum(py, axis=-1)
-    out_ref[2, 0] = jnp.sum(pz, axis=-1)
 
     def fold(p):
         """Window-lane reaction -> partner-cell slots: own cell x's window
         segment seg holds partner cell x + seg - 1, so the reaction for
         partner cell xp gathers seg0[xp+1] + seg1[xp] + seg2[xp-1] —
         two static +-1 rolls along the x-cell (sublane) axis, circular
-        because x is periodic (matching make_windows' circular rolls)."""
+        because x is periodic (matching make_windows' circular rolls).
+        pltpu.roll requires non-negative shifts: -1 == mc - 1."""
         r = jnp.sum(p, axis=1)  # (mc, 3cap)
         s0 = r[:, :cap]
         s1 = r[:, cap : 2 * cap]
         s2_ = r[:, 2 * cap :]
-        # pltpu.roll requires non-negative shifts: -1 == mc - 1 (circular)
         return pltpu.roll(s0, mc - 1, axis=0) + s1 + pltpu.roll(s2_, 1, axis=0)
 
-    out_ref[3, 0] = -fold(px)
-    out_ref[4, 0] = -fold(py)
-    out_ref[5, 0] = -fold(pz)
+    # Cross-lane reductions are the expensive VPU op here (~log2(lanes)
+    # rotate+add steps each). The own-row force sum is LINEAR in the raw
+    # (mc, cap, 3cap) products, so accumulate those across all five offset
+    # rows and reduce ONCE per component at the end: 3 lane reductions per
+    # program instead of 15. The Newton-3 folds stay per-row (each targets
+    # a different partner row) but reduce over SUBLANES — cheap adds.
+    apx = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
+    apy = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
+    apz = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
+    au = jnp.zeros((mc, cap, 3 * cap), jnp.float32) if want_pe else None
+    fx0 = fy0 = fz0 = None
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        r2p, dxv, dyv, dzv = _pair_geom_static(
+            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+        hit = r2p < r2cut
+        # LJ force magnitude / |dr| — formula of ops.common (R10). Hot
+        # path: hardware approximate reciprocal + TWO Newton steps (one
+        # step leaves ~1e-4-relative force error after s6*s6*s2; the
+        # second brings the hot path inside the fp32 parity gate,
+        # BASELINE.json:5, at 2 VPU ops per pair). Cutoff decisions use
+        # r2p directly, so pair membership stays bit-exact. The
+        # diagnostics variant (want_pe) keeps the exact divide.
+        if want_pe:
+            s2 = 1.0 / r2p
+        else:
+            s2 = pl.reciprocal(r2p, approx=True)
+            s2 = s2 * (2.0 - r2p * s2)
+            s2 = s2 * (2.0 - r2p * s2)
+        s6 = s2 * s2 * s2
+        f = jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
+        px = f * dxv  # (mc, cap, 3cap)
+        py = f * dyv
+        pz = f * dzv
+        apx += px
+        apy += py
+        apz += pz
+        if k == 0:
+            fx0 = -fold(px)
+            fy0 = -fold(py)
+            fz0 = -fold(pz)
+        else:
+            out_ref[3 * k, 0] = -fold(px)
+            out_ref[3 * k + 1, 0] = -fold(py)
+            out_ref[3 * k + 2, 0] = -fold(pz)
+        if want_pe:
+            au += jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
+    out_ref[0, 0] = jnp.sum(apx, axis=-1) + fx0
+    out_ref[1, 0] = jnp.sum(apy, axis=-1) + fy0
+    out_ref[2, 0] = jnp.sum(apz, axis=-1) + fz0
     if want_pe:
-        u = jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
-        out_ref[6, 0] = jnp.sum(u, axis=-1)
+        out_ref[15, 0] = jnp.sum(au, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -365,37 +384,55 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     attributed ONCE per pair to the lexicographically-lower slot: total
     PE = sum(pe * valid), no halving."""
     mc, cap = spec.mc, spec.cap
-    nch = 7 if want_pe else 6
+    nch = 16 if want_pe else 15
     windows = make_windows(pos4, valid_f32, spec)
     out = pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
                           want_pe=want_pe),
-        grid=(mc, mc, 5),
-        in_specs=list(_win_specs_half(spec)),
+        grid=(mc, mc),
+        in_specs=_win_specs_merged(spec),
         out_specs=pl.BlockSpec(
             (nch, 1, mc, cap),
-            lambda z, y, k: (k, z * mc + y, 0, 0),
+            lambda z, y: (0, z * mc + y, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (5 * nch, spec.rows, mc, cap), jnp.float32
+            (nch, spec.rows, mc, cap), jnp.float32
         ),
         interpret=interpret,
-    )(windows, windows)
-    out5 = out.reshape(5, nch, spec.rows, mc, cap)
-    force = jnp.sum(out5[:, :3], axis=0)
-    # reaction partials: block k was computed by row (z, y) FOR row
-    # (z+dz, y+dy) -> a periodic (dz, dy) roll re-homes it. Regular rolls,
-    # ~0.3 ms of HBM traffic at N=1M vs the ~1.8x kernel-time saving.
-    rxn = out5[:, 3:6].reshape(5, 3, mc, mc, mc, cap)
-    force = force + rxn[0].reshape(3, spec.rows, mc, cap)
-    for kk, (dz, dy) in enumerate(HALF_OFFSETS5):
-        if (dz, dy) == (0, 0):
-            continue
-        rolled = jnp.roll(rxn[kk], (dz, dy), axis=(1, 2))
-        force = force + rolled.reshape(3, spec.rows, mc, cap)
-    pe = jnp.sum(out5[:, 6], axis=0) if want_pe else None
+    )(*([windows] * 5))
+    force = out[:3]
+    # reaction partials: channels 3k..3k+2 were computed by row (z, y) FOR
+    # row (z+dz, y+dy) -> a periodic (dz, dy) roll re-homes them. Regular
+    # rolls, ~0.2 ms of HBM traffic at N=1M vs the ~1.8x kernel saving.
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        if k == 0:
+            continue  # folded into channels 0-2 in-kernel
+        r = out[3 * k:3 * k + 3].reshape(3, mc, mc, mc, cap)
+        force = force + jnp.roll(r, (dz, dy), axis=(1, 2)).reshape(
+            3, spec.rows, mc, cap)
+    pe = out[15] if want_pe else None
     return force, pe
+
+
+def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
+    nbr_refs = refs[:5]
+    out_ref = refs[5]
+    own_ref = nbr_refs[0]
+    mc, cap = spec.mc, spec.cap
+    r2cut = jnp.float32(radius * radius)
+    # accumulate in f32 (exact for counts < 2^24; i32 vector ops are slower
+    # on the VPU). Reduce per row, accumulate the reduced (mc, cap): a
+    # full-lane reduce is CHEAPER than one add over the raw (mc, cap, 3cap)
+    # (measured 7.1 vs 8.2 ms at N=1M — reduces run in registers, an
+    # accumulator add pays VMEM read+write of the wide array), the
+    # opposite trade from the force kernel's three components.
+    cnt = jnp.zeros((mc, cap), jnp.float32)
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        r2p, _, _, _ = _pair_geom_static(
+            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+        cnt += jnp.where(r2p < r2cut, 1.0, 0.0).sum(axis=-1)
+    out_ref[0] = cnt
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -404,63 +441,65 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
                       interpret: bool = False):
     """Per-slot HALF neighbor counts (each unordered pair attributed once,
     to its lexicographically-lower cell/slot). Total pairs = sum(counts) —
-    the fast list-build counting pass (nearly half the full sweep's work)."""
+    the fast counting pass (merged grid: 7.1 ms at N=1M vs 16.9 on the
+    round-1 k-grid)."""
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
     counts = pl.pallas_call(
         functools.partial(_count_half_kernel, spec=spec, radius=radius),
-        grid=(mc, mc, 5),
-        in_specs=list(_win_specs_half(spec)),
+        grid=(mc, mc),
+        in_specs=_win_specs_merged(spec),
         out_specs=pl.BlockSpec((1, mc, cap),
-                               lambda z, y, k: (z * mc + y, 0, 0),
+                               lambda z, y: (z * mc + y, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
         interpret=interpret,
-    )(windows, windows).astype(jnp.int32)
+    )(*([windows] * 5)).astype(jnp.int32)
     return counts
 
 
-def _lane_weights(cap: int) -> jnp.ndarray:
-    """(1, 1, 3cap) f32 packing weights: window lane l carries weight
-    2^(l % MASK_BITS). Summing the weights of hit lanes within one word's
-    lane group yields that packed word — every partial sum is a set of
-    distinct powers of two below 2^MASK_BITS, so f32 accumulation is
-    EXACT (the reason for 24-bit rather than 32-bit words: f32 has a
-    24-bit significand)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3 * cap), 2)
-    # integer shift, NOT jnp.exp2: the VPU's exp2 is an approximation
-    # (exp2(23.0) = 8388604.5) and would corrupt the packing
-    return (jnp.int32(1) << jnp.mod(lane, MASK_BITS)).astype(jnp.float32)
+def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
+    """Half-sweep neighbor-list emission, all five offset rows in ONE
+    program: packed cluster bitmasks (the consumable list artifact, cf.
+    GROMACS cluster lists PAPERS.md:9) AND per-slot half counts.
 
-
-def _word_lane_mask(cap: int, w: int) -> jnp.ndarray:
-    """(1, 1, 3cap) f32: 1.0 on word w's lane group, 0.0 elsewhere.
-    Select-masking beats lane-group slices here: slices at MASK_BITS
-    offsets are not 128-lane aligned, and the relayouts they force cost
-    more than the selects (measured 39.6 vs 28.5 ms at N=1M)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3 * cap), 2)
-    return (lane // MASK_BITS == w).astype(jnp.float32)
-
-
-def _list_half_kernel(nbr_ref, own_ref, out_ref, *, spec,
-                      radius: float, zwrap: bool = True):
-    """Half-sweep neighbor-list emission: ONE pass produces the packed
-    cluster bitmasks (the consumable list artifact, cf. GROMACS cluster
-    lists PAPERS.md:9) AND the per-slot half counts (final channel).
-    Outputs are k-indexed — written exactly once per program — which is
-    what the cap<=32 single-word emitter of round 1 got wrong at
-    production cap (multi-word packing into one revisited block SIGABRTed
-    Mosaic). Bit l of word w for slot (x, i) at offset row k: window lane
-    l' = MASK_BITS*w + l of the (dz, dy) row's x-window, i.e. partner
-    cell x + l'//cap - 1, slot l' % cap."""
-    words = mask_words(spec.cap)
-    r2p, _, _, _ = _half_pair_geometry(nbr_ref, own_ref, spec, zwrap)
-    hit = jnp.where(r2p < jnp.float32(radius * radius), 1.0, 0.0)
-    bits = hit * _lane_weights(spec.cap)
-    for w in range(words):
-        out_ref[w, 0] = jnp.sum(bits * _word_lane_mask(spec.cap, w),
-                                axis=-1)
-    out_ref[words, 0] = jnp.sum(hit, axis=-1)
+    The masks are packed over the OWN-SLOT axis (bit i of word w at
+    (k, row, x, lane l) says own slot i' = MASK_BITS*w + i of cell
+    (row, x) has window lane l of offset row k as a half neighbor). Packing
+    over slots makes the packing reduction run over SUBLANES — cheap
+    vector adds — where round 2's first cut packed over window lanes and
+    paid a full cross-lane reduction per word (22.7 ms vs 16.7 ms at
+    N=1M, cap=32). Weights are distinct powers of two below 2^MASK_BITS,
+    so f32 accumulation is exact (MASK_BITS = 24 = the f32 significand);
+    integer shift, NOT jnp.exp2, builds them — the VPU's exp2 is
+    approximate (exp2(23.0) = 8388604.5) and would corrupt the packing.
+    The count channel keeps the counts kernel's single lane reduction."""
+    nbr_refs = refs[:5]
+    outm_ref = refs[5]
+    outc_ref = refs[6]
+    own_ref = nbr_refs[0]
+    mc, cap = spec.mc, spec.cap
+    words = mask_words(cap)
+    r2cut = jnp.float32(radius * radius)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (mc, cap, 3 * cap), 1)
+    # per-word static weights: 2^(slot % 24) on word w's slot group, 0 off
+    # it — one multiply per (k, w) instead of a shared-weights multiply
+    # plus a select
+    wweights = [
+        jnp.where(slot // MASK_BITS == w,
+                  (jnp.int32(1) << jnp.mod(slot, MASK_BITS)
+                   ).astype(jnp.float32), 0.0)
+        for w in range(words)
+    ]
+    cnt = jnp.zeros((mc, cap), jnp.float32)
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        r2p, _, _, _ = _pair_geom_static(
+            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+        hit = jnp.where(r2p < r2cut, 1.0, 0.0)
+        cnt += hit.sum(axis=-1)  # per-row reduce beats a wide accumulator
+        for w in range(words):
+            outm_ref[k * words + w, 0] = jnp.sum(hit * wweights[w], axis=1)
+    outc_ref[0] = cnt
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -525,31 +564,49 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
       counts (R, mc, cap) i32 — half neighbor count per slot (each
         unordered pair attributed once); total pairs = sum(counts * valid).
-      masks (5, words, R, mc, cap) i32 — packed cluster bitmasks: for
-        offset row k (HALF_OFFSETS5) and slot (r, x, i), bit l of word w
-        says window lane MASK_BITS*w + l of the (z+dz, y+dy) row — partner
-        cell x + lane//cap - 1, slot lane % cap — is a neighbor within
-        ``radius``. Works at any cap (words spans the window).
+      masks (5, words, R, mc, 3cap) i32 — packed cluster bitmasks: for
+        offset row k (HALF_OFFSETS5), cell row r, own cell x and window
+        lane l, bit i of word w says own slot MASK_BITS*w + i of cell
+        (r, x) has the (z+dz, y+dy) row's window lane l — partner cell
+        x + l//cap - 1, slot l % cap — as a neighbor within ``radius``.
+        Works at any cap (words spans the slot axis). The total popcount
+        equals the total pair count (each pair sets exactly one bit).
 
     One kernel pass emits both; ~half the full sweep's pair evals."""
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
     windows = make_windows(pos4, valid_f32, spec)
-    out = pl.pallas_call(
+    masks, counts = pl.pallas_call(
         functools.partial(_list_half_kernel, spec=spec, radius=radius),
-        grid=(mc, mc, 5),
-        in_specs=list(_win_specs_half(spec)),
-        out_specs=pl.BlockSpec(
-            (words + 1, 1, mc, cap),
-            lambda z, y, k: (k, z * mc + y, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (5 * (words + 1), spec.rows, mc, cap), jnp.float32
-        ),
+        grid=(mc, mc),
+        in_specs=_win_specs_merged(spec),
+        out_specs=[
+            pl.BlockSpec((5 * words, 1, mc, 3 * cap),
+                         lambda z, y: (0, z * mc + y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+        ],
         interpret=interpret,
-    )(windows, windows)
-    out5 = out.reshape(5, words + 1, spec.rows, mc, cap)
-    counts = jnp.sum(out5[:, words], axis=0).astype(jnp.int32)
-    masks = out5[:, :words].astype(jnp.int32)
-    return counts, masks
+    )(*([windows] * 5))
+    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
+    return counts.astype(jnp.int32), masks
+
+
+def mask_slot_counts(masks: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Decode per-slot half counts from the slot-packed masks
+    ((5|k, words, R, mc, 3cap) i32 -> (R, mc, cap) i32): slot i' =
+    MASK_BITS*w + i tallies bit i of word w over all offset rows and
+    window lanes. The validation twin of the count channel — popcount
+    semantics for the transposed packing."""
+    words = masks.shape[1]
+    cols = []
+    for w in range(words):
+        for b in range(min(MASK_BITS, cap - w * MASK_BITS)):
+            cols.append(jnp.sum((masks[:, w] >> b) & 1, axis=(0, 3)))
+    return jnp.stack(cols, axis=-1)  # (R, mc, cap)

@@ -81,25 +81,18 @@ class SlabSpec:
         return dataclasses.replace(self, nz=self.nz + 1)
 
 
-def _slab_win_specs_half(spec: SlabSpec):
-    """(neighbor-row, own-row) BlockSpecs over the EXTENDED window array:
-    grid (nz, mc, 5); z indexes owned layers, never wraps (dz=1 from the
-    last owned layer lands on the ghost layer); y wraps mod mc."""
+def _slab_win_specs_merged(spec: SlabSpec):
+    """One BlockSpec per half offset row over the EXTENDED window array:
+    merged grid (nz, mc); z indexes owned layers, never wraps (dz=1 from
+    the last owned layer lands on the ghost layer); y wraps mod mc."""
     mc = spec.mc
     shape = (1, 3, mc, 3 * spec.cap)
-
-    def nbr_map(z, y, k):
-        dz = jnp.where(k >= 2, 1, 0)
-        dy = jnp.where(k == 0, 0, jnp.where(k == 1, 1, k - 3))
-        return ((z + dz) * mc + (y + dy) % mc, 0, 0, 0)
-
-    def own_map(z, y, k):
-        return (z * mc + y, 0, 0, 0)
-
-    return (
-        pl.BlockSpec(shape, nbr_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec(shape, own_map, memory_space=pltpu.VMEM),
-    )
+    specs = []
+    for dz, dy in HALF_OFFSETS5:
+        def m(z, y, dz=dz, dy=dy):
+            return ((z + dz) * mc + (y + dy) % mc, 0, 0, 0)
+        specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
+    return specs
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -117,29 +110,30 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     layer — ppermute it right and add to the receiver's first layer.
     PE is attributed once per pair to the evaluating device's own slot."""
     mc, cap, nz = spec.mc, spec.cap, spec.nz
-    nch = 7 if want_pe else 6
+    nch = 16 if want_pe else 15
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
     out = pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
                           want_pe=want_pe, zwrap=False),
-        grid=(nz, mc, 5),
-        in_specs=list(_slab_win_specs_half(spec)),
+        grid=(nz, mc),
+        in_specs=_slab_win_specs_merged(spec),
         out_specs=pl.BlockSpec(
             (nch, 1, mc, cap),
-            lambda z, y, k: (k, z * mc + y, 0, 0),
+            lambda z, y: (0, z * mc + y, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (5 * nch, spec.rows, mc, cap), jnp.float32
+            (nch, spec.rows, mc, cap), jnp.float32
         ),
         interpret=interpret,
-    )(windows, windows)
-    out5 = out.reshape(5, nch, nz, mc, mc, cap)
-    force = jnp.sum(out5[:, :3], axis=0)  # (3, nz, mcy, mcx, cap)
-    rxn = out5[:, 3:6]
+    )(*([windows] * 5))
+    # channels 0-2: own force incl. the (0,0) row's reaction (in-kernel)
+    force = out[:3].reshape(3, nz, mc, mc, cap)
     seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
     for kk, (dz, dy) in enumerate(HALF_OFFSETS5):
-        r = rxn[kk]
+        if kk == 0:
+            continue
+        r = out[3 * kk:3 * kk + 3].reshape(3, nz, mc, mc, cap)
         if dy != 0:
             r = jnp.roll(r, dy, axis=2)  # y is periodic in the full box
         if dz == 0:
@@ -150,8 +144,7 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             force = force.at[:, 1:].add(r[:, : nz - 1])
             seam = seam + r[:, nz - 1]
     force = force.reshape(3, spec.rows, mc, cap)
-    pe = (jnp.sum(out5[:, 6], axis=0).reshape(spec.rows, mc, cap)
-          if want_pe else None)
+    pe = out[15].reshape(spec.rows, mc, cap) if want_pe else None
     return force, seam, pe
 
 
@@ -160,29 +153,32 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
                     spec: SlabSpec, radius: float, interpret: bool = False):
     """Slab variant of dense_lists_half: (counts, masks) over the owned
     rows, pairs attributed to the evaluating device (ghost-layer pairs to
-    the lower slab) — global pairs = psum of sum(counts * valid)."""
+    the lower slab) — global pairs = psum of sum(counts * valid). Masks
+    are slot-packed, matching dense_lists_half's format."""
     mc, cap, nz = spec.mc, spec.cap, spec.nz
     words = mask_words(cap)
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
-    out = pl.pallas_call(
+    masks, counts = pl.pallas_call(
         functools.partial(_list_half_kernel, spec=spec, radius=radius,
                           zwrap=False),
-        grid=(nz, mc, 5),
-        in_specs=list(_slab_win_specs_half(spec)),
-        out_specs=pl.BlockSpec(
-            (words + 1, 1, mc, cap),
-            lambda z, y, k: (k, z * mc + y, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (5 * (words + 1), spec.rows, mc, cap), jnp.float32
-        ),
+        grid=(nz, mc),
+        in_specs=_slab_win_specs_merged(spec),
+        out_specs=[
+            pl.BlockSpec((5 * words, 1, mc, 3 * cap),
+                         lambda z, y: (0, z * mc + y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+        ],
         interpret=interpret,
-    )(windows, windows)
-    out5 = out.reshape(5, words + 1, spec.rows, mc, cap)
-    counts = jnp.sum(out5[:, words], axis=0).astype(jnp.int32)
-    masks = out5[:, :words].astype(jnp.int32)
-    return counts, masks
+    )(*([windows] * 5))
+    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
+    return counts.astype(jnp.int32), masks
 
 
 def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,

@@ -196,28 +196,29 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
     )
     vmj = state.valid()
     total = int(np.asarray(jnp.sum(jnp.where(vmj, counts, 0))))
-    # popcount over all words/offsets == counts, per slot
-    pop = jnp.sum(jax.lax.population_count(masks), axis=(0, 1))
+    # per-slot bit tally over all words/offsets/lanes == counts (the
+    # popcount identity for the slot-packed format)
+    pop = pallas_force.mask_slot_counts(masks, spec.cap)
     np.testing.assert_array_equal(
         np.asarray(pop)[np.asarray(vmj)], np.asarray(counts)[np.asarray(vmj)]
     )
 
-    m = np.asarray(masks)  # (5, words, R, mc, cap)
+    m = np.asarray(masks)  # (5, words, R, mc, 3cap) — slot-packed
     pid = np.asarray(state.pid)
     mc, cap = spec.mc, spec.cap
     pairs = []
     for k, (dz, dy) in enumerate(HALF_OFFSETS5):
         for w in range(m.shape[1]):
             for b in range(MASK_BITS):
-                lane = MASK_BITS * w + b
-                if lane >= 3 * cap:
+                i = MASK_BITS * w + b  # own slot index
+                if i >= cap:
                     break
+                rr, xx, lane = np.nonzero((m[k, w] >> b) & 1)
                 dx = lane // cap - 1
                 j = lane % cap
-                rr, xx, ii = np.nonzero((m[k, w] >> b) & 1)
                 z, y = rr // mc, rr % mc
                 prow = ((z + dz) % mc) * mc + (y + dy) % mc
-                pi = pid[rr, xx, ii]
+                pi = pid[rr, xx, i]
                 pj = pid[prow, (xx + dx) % mc, j]
                 assert (pi >= 0).all() and (pj >= 0).all(), "parked slot hit"
                 pairs.extend(

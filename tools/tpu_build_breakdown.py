@@ -15,11 +15,12 @@ from md_neighbor_list_tpu.ops.dense_cells import (from_packed, make_spec,
 ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=1_000_000)
 ap.add_argument("--reps", type=int, default=10)
+ap.add_argument("--cap", type=int, default=40)
 args = ap.parse_args()
 
-print(f"device: {jax.devices()[0]}  N={args.n}", flush=True)
+print(f"device: {jax.devices()[0]}  N={args.n} cap={args.cap}", flush=True)
 system, box = init_lattice(args.n, 1.0, jax.random.PRNGKey(0), 1.0)
-spec = make_spec(box, 2.8, cap=40)
+spec = make_spec(box, 2.8, cap=args.cap)
 st = from_packed(system.pos, system.vel, system.pid, spec)
 st, _ = rebuild_dense(st, spec, False)
 v32 = st.valid().astype(jnp.float32)

@@ -82,13 +82,13 @@ def main():
     ok &= gate("half-sweep count parity vs oracle",
                pairs_h == pairs_o, f"({pairs_h} vs {pairs_o})")
 
-    # list artifact at production cap: one-pass masks+counts; popcounts of
-    # the packed words must reproduce the counts bit-for-bit
+    # list artifact at production cap: one-pass masks+counts; per-slot bit
+    # tallies of the packed words must reproduce the counts bit-for-bit
     c_l, masks = pallas_force.dense_lists_half(st0.pos, valid0, spec0, 2.8,
                                                False)
     ok &= gate("list kernel counts == half counts",
                bool(jnp.all(jnp.where(vm0, c_l == c_h, True))))
-    pop = jnp.sum(jax.lax.population_count(masks), axis=(0, 1))
+    pop = pallas_force.mask_slot_counts(masks, spec0.cap)
     ok &= gate(f"mask popcount == counts (cap={spec0.cap}, "
                f"words={pallas_force.mask_words(spec0.cap)})",
                bool(jnp.all(jnp.where(vm0, pop == c_l, True))))
@@ -154,7 +154,7 @@ def main():
         fo, se, _ = slab_forces_half(ext_pos, ext_v, sspec, 2.5, False,
                                      False)
         cs, ms = slab_lists_half(ext_pos, ext_v, sspec, 2.8, False)
-        pops = jnp.sum(jax.lax.population_count(ms), axis=(0, 1))
+        pops = pallas_force.mask_slot_counts(ms, sspec.cap)
         assert bool(jnp.all(jnp.where(vm0[own], pops == cs, True)))
         f_parts.append(fo)
         seams.append(se)
