@@ -109,18 +109,23 @@ def bench_pallas(cfg, args):
     reducer = jax.jit(
         lambda c: jnp.sum(c.state.vel) + c.n_rebuilds.astype(jnp.float32)
     )
-    # fixed device-side chunk so the timed window reuses the warmup's
-    # compiled executable (a different static chunk length would recompile)
-    chunk = args.chunk
-    carry = sim.run(carry, chunk, chunk=chunk)
+    # One device dispatch per timed window (chunk = the whole window) and
+    # best-of-3 windows: the relay tunnel occasionally stalls a single
+    # dispatch for ~2 minutes (measured: 3 fast 0.14 s chunks then one
+    # 133 s chunk in the same loop), which poisons any single-window
+    # number; the un-stalled windows agree to a few percent.
+    carry = sim.run(carry, args.steps, chunk=args.steps)  # warm + compile
     fetch_scalar(reducer(carry))
-    t0 = time.perf_counter()
-    carry = sim.run(carry, args.steps, chunk=chunk)
-    fetch_scalar(reducer(carry))
-    elapsed = time.perf_counter() - t0
-    steps_per_s = args.steps / elapsed
+    elapsed = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carry = sim.run(carry, args.steps, chunk=args.steps)
+        fetch_scalar(reducer(carry))
+        elapsed.append(time.perf_counter() - t0)
+    steps_per_s = args.steps / min(elapsed)
     rebuilds = int(fetch_scalar(carry.n_rebuilds))
-    log(f"steps/s: {steps_per_s:.2f} ({args.steps} steps in {elapsed:.2f}s, "
+    log(f"steps/s: {steps_per_s:.2f} (3 windows of {args.steps} steps: "
+        f"{', '.join(f'{e:.2f}' for e in elapsed)} s; "
         f"{rebuilds} total rebuilds)")
     return build_ms, steps_per_s, pairs, {"cap": spec.cap, "mc": spec.mc}
 
@@ -145,13 +150,15 @@ def bench_xla(cfg, args):
     build_ms = (time.perf_counter() - t0) * 1e3 / args.reps
 
     reducer = jax.jit(lambda c: jnp.sum(c.system.vel))
-    chunk = args.chunk
-    carry = sim.run(carry, chunk, chunk=chunk)
+    carry = sim.run(carry, args.steps, chunk=args.steps)
     fetch_scalar(reducer(carry))
-    t0 = time.perf_counter()
-    carry = sim.run(carry, args.steps, chunk=chunk)
-    fetch_scalar(reducer(carry))
-    steps_per_s = args.steps / (time.perf_counter() - t0)
+    elapsed = []
+    for _ in range(3):  # best-of-3 single-dispatch windows (tunnel stalls)
+        t0 = time.perf_counter()
+        carry = sim.run(carry, args.steps, chunk=args.steps)
+        fetch_scalar(reducer(carry))
+        elapsed.append(time.perf_counter() - t0)
+    steps_per_s = args.steps / min(elapsed)
     log(f"xla: build {build_ms:.2f} ms, {steps_per_s:.2f} steps/s")
     return build_ms, steps_per_s, None, {"K": sim.capacity.neighbors}
 

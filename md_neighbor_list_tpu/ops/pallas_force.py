@@ -250,14 +250,14 @@ def _half_center_penalty(spec: DenseSpec):
 def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
                       zwrap: bool = True):
     """Half-sweep pair geometry for ONE (dz, dy) offset row with the
-    offsets STATIC (the merged kernels unroll ``HALF_OFFSETS5``, so every
-    periodic shift is a compile-time select on the program ids only).
-    Returns (r2p, dxv, dyv, dzv) with the same-cell Newton-3 dedup penalty
-    folded in at (0, 0) (see _half_center_penalty). dz >= 0 for every half
-    offset, so the z periodic shift is one-sided. zwrap=False is the
-    slab-decomposition variant: the z axis never wraps locally (ghost
-    layers pad the owned block, with the ring seam's +-L already baked
-    into ghost positions by the receiver)."""
+    offsets STATIC (the kernels unroll their subset of ``HALF_OFFSETS5``,
+    so every periodic shift is a compile-time select on the program ids
+    only). Returns (r2p, dxv, dyv, dzv) with the same-cell Newton-3 dedup
+    penalty folded in at (0, 0) (see _half_center_penalty). dz >= 0 for
+    every half offset, so the z periodic shift is one-sided. zwrap=False
+    is the slab-decomposition variant: the z axis never wraps locally
+    (ghost layers pad the owned block, with the ring seam's +-L already
+    baked into ghost positions by the receiver)."""
     mc, cap = spec.mc, spec.cap
     z = pl.program_id(0)
     y = pl.program_id(1)
@@ -284,55 +284,71 @@ def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
     return r2p, dxv, dyv, dzv
 
 
-def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
-                       zwrap: bool = True):
-    """Half-sweep Newton-3 LJ forces, all five offset rows in ONE program:
-    each unordered pair is EVALUATED once (5/9 of the full sweep's work)
-    and contributes to both partners.
+def _split_rows(spec) -> bool:
+    """True when the 5-row merged kernel would blow the 16 MB scoped-VMEM
+    stack and each offset row must go in its OWN pallas_call (hard
+    temporary isolation — Mosaic's scheduler overlaps the unrolled rows'
+    temporaries regardless of source-level structure: an x-chunked variant
+    of the merged kernel still demanded 29.4 MB at N=8M shapes). Measured
+    model: the merged force kernel peaks at ~16 live (mc, cap, 3cap) f32
+    intermediates (21.9 MB demanded at mc=71, cap=40 — the N=8M OOM;
+    ~6.9 MB at mc=35, cap=32, which fits)."""
+    return 16 * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
 
-    Output channels (each written exactly once per program): 0-2 the own
-    row's force INCLUDING the (0,0) row's reaction (its partner row is the
-    own row, so it folds in-kernel); 3k..3k+2 (k = 1..4) the reaction on
-    the (z+dz, y+dy) partner row, already folded from window lanes to
-    partner-cell x slots via two static sublane rolls; channel 15 the
-    once-per-pair potential. The caller rolls each reaction block by its
-    (dz, dy) — regular XLA ops, no scatter (the TPU answer to the
+
+def _fold_rxn(r, mc: int, cap: int):
+    """Window-lane reaction (mc, 3cap), already summed over own slots,
+    -> partner-cell slots: own cell x's window segment seg holds partner
+    cell x + seg - 1, so the reaction for partner cell xp gathers
+    seg0[xp+1] + seg1[xp] + seg2[xp-1] — two static +-1 rolls along the
+    x-cell (sublane) axis, circular because x is periodic (matching
+    make_windows' circular rolls). pltpu.roll requires non-negative
+    shifts: -1 == mc - 1."""
+    s0 = r[:, :cap]
+    s1 = r[:, cap : 2 * cap]
+    s2_ = r[:, 2 * cap :]
+    return pltpu.roll(s0, mc - 1, axis=0) + s1 + pltpu.roll(s2_, 1, axis=0)
+
+
+def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
+                       zwrap: bool = True, ks=(0, 1, 2, 3, 4)):
+    """Half-sweep Newton-3 LJ forces for the offset rows in ``ks``: each
+    unordered pair is EVALUATED once (5/9 of the full sweep's work) and
+    contributes to both partners.
+
+    Merged form (ks = all five, one program per cell row): output channels
+    0-2 hold the own row's force INCLUDING the (0,0) row's reaction (its
+    partner row is the own row, so it folds in-kernel); 3k..3k+2
+    (k = 1..4) the reaction on the (z+dz, y+dy) partner row, already
+    folded from window lanes to partner-cell x slots; channel 15 the
+    once-per-pair potential. Split form (one k per pallas_call, used when
+    _split_rows — N=8M shapes): channels 0-2 own partial, 3-5 reaction,
+    6 potential. Either way the caller re-homes reactions with (dz, dy)
+    rolls — regular XLA ops, no scatter (the TPU answer to the
     reference's Newton-3 scatter-add, SURVEY.md §9)."""
-    nbr_refs = refs[:5]
-    out_ref = refs[5]
-    own_ref = nbr_refs[0]
+    n = len(ks)
+    merged = n == 5
+    nbr_refs = refs[:n]
+    own_ref = refs[n]
+    out_ref = refs[n + 1]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
     ushift = 4.0 * (s6c * s6c - s6c)
 
-    def fold(p):
-        """Window-lane reaction -> partner-cell slots: own cell x's window
-        segment seg holds partner cell x + seg - 1, so the reaction for
-        partner cell xp gathers seg0[xp+1] + seg1[xp] + seg2[xp-1] —
-        two static +-1 rolls along the x-cell (sublane) axis, circular
-        because x is periodic (matching make_windows' circular rolls).
-        pltpu.roll requires non-negative shifts: -1 == mc - 1."""
-        r = jnp.sum(p, axis=1)  # (mc, 3cap)
-        s0 = r[:, :cap]
-        s1 = r[:, cap : 2 * cap]
-        s2_ = r[:, 2 * cap :]
-        return pltpu.roll(s0, mc - 1, axis=0) + s1 + pltpu.roll(s2_, 1, axis=0)
-
-    # Cross-lane reductions are the expensive VPU op here (~log2(lanes)
-    # rotate+add steps each). The own-row force sum is LINEAR in the raw
-    # (mc, cap, 3cap) products, so accumulate those across all five offset
-    # rows and reduce ONCE per component at the end: 3 lane reductions per
-    # program instead of 15. The Newton-3 folds stay per-row (each targets
-    # a different partner row) but reduce over SUBLANES — cheap adds.
-    apx = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
-    apy = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
-    apz = jnp.zeros((mc, cap, 3 * cap), jnp.float32)
-    au = jnp.zeros((mc, cap, 3 * cap), jnp.float32) if want_pe else None
-    fx0 = fy0 = fz0 = None
-    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+    # Cross-lane reductions are the expensive VPU op (~log2(lanes)
+    # rotate+add steps each); in the merged case the own-row force sum,
+    # LINEAR in the raw (mc, cap, 3cap) products, is accumulated across
+    # all five offset rows and reduced ONCE per component: 3 lane
+    # reductions per program instead of 15 (measured 24.2 vs 25.0 ms at
+    # N=1M). Newton-3 folds always reduce over SUBLANES (cheap adds)
+    # into small (mc, 3cap) rows.
+    acc = None
+    rxn_rows = []
+    for i, k in enumerate(ks):
+        dz, dy = HALF_OFFSETS5[k]
         r2p, dxv, dyv, dzv = _pair_geom_static(
-            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
         hit = r2p < r2cut
         # LJ force magnitude / |dr| — formula of ops.common (R10). Hot
         # path: hardware approximate reciprocal + TWO Newton steps (one
@@ -352,24 +368,62 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
         px = f * dxv  # (mc, cap, 3cap)
         py = f * dyv
         pz = f * dzv
-        apx += px
-        apy += py
-        apz += pz
-        if k == 0:
-            fx0 = -fold(px)
-            fy0 = -fold(py)
-            fz0 = -fold(pz)
+        u = (jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
+             if want_pe else None)
+        rxn_rows.append([jnp.sum(px, axis=1), jnp.sum(py, axis=1),
+                         jnp.sum(pz, axis=1)])  # (mc, 3cap)
+        if i == 0:
+            acc = [px, py, pz] + ([u] if want_pe else [])
         else:
-            out_ref[3 * k, 0] = -fold(px)
-            out_ref[3 * k + 1, 0] = -fold(py)
-            out_ref[3 * k + 2, 0] = -fold(pz)
+            acc = [a + p for a, p in zip(acc, [px, py, pz, u][: len(acc)])]
+
+    own = [jnp.sum(a, axis=-1) for a in acc]  # fx, fy, fz (+ pe)
+    if merged:
+        for j, k in enumerate(ks):
+            if k == 0:
+                continue
+            out_ref[3 * k, 0] = -_fold_rxn(rxn_rows[j][0], mc, cap)
+            out_ref[3 * k + 1, 0] = -_fold_rxn(rxn_rows[j][1], mc, cap)
+            out_ref[3 * k + 2, 0] = -_fold_rxn(rxn_rows[j][2], mc, cap)
+        k0 = ks.index(0) if 0 in ks else None
+        out_ref[0, 0] = own[0] - _fold_rxn(rxn_rows[k0][0], mc, cap)
+        out_ref[1, 0] = own[1] - _fold_rxn(rxn_rows[k0][1], mc, cap)
+        out_ref[2, 0] = own[2] - _fold_rxn(rxn_rows[k0][2], mc, cap)
         if want_pe:
-            au += jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0)
-    out_ref[0, 0] = jnp.sum(apx, axis=-1) + fx0
-    out_ref[1, 0] = jnp.sum(apy, axis=-1) + fy0
-    out_ref[2, 0] = jnp.sum(apz, axis=-1) + fz0
-    if want_pe:
-        out_ref[15, 0] = jnp.sum(au, axis=-1)
+            out_ref[15, 0] = own[3]
+    else:
+        out_ref[0, 0] = own[0]
+        out_ref[1, 0] = own[1]
+        out_ref[2, 0] = own[2]
+        out_ref[3, 0] = -_fold_rxn(rxn_rows[0][0], mc, cap)
+        out_ref[4, 0] = -_fold_rxn(rxn_rows[0][1], mc, cap)
+        out_ref[5, 0] = -_fold_rxn(rxn_rows[0][2], mc, cap)
+        if want_pe:
+            out_ref[6, 0] = own[3]
+
+
+def _call_force_k(windows, spec, rc, want_pe, interpret, zwrap, k,
+                  win_specs, grid, out_rows):
+    """One offset row's force pass as its own pallas_call (split form).
+    ``grid``/``out_rows`` come from the caller ((mc, mc)/spec.rows for the
+    cube; (nz, mc)/owned rows for a slab whose windows carry the ghost
+    layer)."""
+    mc, cap = spec.mc, spec.cap
+    nch = 7 if want_pe else 6
+    return pl.pallas_call(
+        functools.partial(_force_half_kernel, spec=spec, rc=rc,
+                          want_pe=want_pe, zwrap=zwrap, ks=(k,)),
+        grid=grid,
+        in_specs=[win_specs[k], win_specs[0]],
+        out_specs=pl.BlockSpec(
+            (nch, 1, mc, cap), lambda z, y: (0, z * mc + y, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nch, out_rows, mc, cap), jnp.float32
+        ),
+        interpret=interpret,
+    )(windows, windows)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -384,13 +438,30 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     attributed ONCE per pair to the lexicographically-lower slot: total
     PE = sum(pe * valid), no halving."""
     mc, cap = spec.mc, spec.cap
-    nch = 16 if want_pe else 15
     windows = make_windows(pos4, valid_f32, spec)
+    specs = _win_specs_merged(spec)
+    if _split_rows(spec):
+        force = None
+        pe = None
+        for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+            out = _call_force_k(windows, spec, rc, want_pe, interpret,
+                                True, k, specs, (mc, mc), spec.rows)
+            fk = out[:3]
+            r = out[3:6].reshape(3, mc, mc, mc, cap)
+            if (dz, dy) != (0, 0):
+                r = jnp.roll(r, (dz, dy), axis=(1, 2))
+            fk = fk + r.reshape(3, spec.rows, mc, cap)
+            force = fk if force is None else force + fk
+            if want_pe:
+                pe = out[6] if pe is None else pe + out[6]
+        return force, pe
+
+    nch = 16 if want_pe else 15
     out = pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
                           want_pe=want_pe),
         grid=(mc, mc),
-        in_specs=_win_specs_merged(spec),
+        in_specs=specs + [specs[0]],
         out_specs=pl.BlockSpec(
             (nch, 1, mc, cap),
             lambda z, y: (0, z * mc + y, 0, 0),
@@ -400,7 +471,7 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
             (nch, spec.rows, mc, cap), jnp.float32
         ),
         interpret=interpret,
-    )(*([windows] * 5))
+    )(*([windows] * 5), windows)
     force = out[:3]
     # reaction partials: channels 3k..3k+2 were computed by row (z, y) FOR
     # row (z+dz, y+dy) -> a periodic (dz, dy) roll re-homes them. Regular
@@ -415,10 +486,12 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     return force, pe
 
 
-def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
-    nbr_refs = refs[:5]
-    out_ref = refs[5]
-    own_ref = nbr_refs[0]
+def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
+                       ks=(0, 1, 2, 3, 4)):
+    n = len(ks)
+    nbr_refs = refs[:n]
+    own_ref = refs[n]
+    out_ref = refs[n + 1]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(radius * radius)
     # accumulate in f32 (exact for counts < 2^24; i32 vector ops are slower
@@ -428,9 +501,10 @@ def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
     # accumulator add pays VMEM read+write of the wide array), the
     # opposite trade from the force kernel's three components.
     cnt = jnp.zeros((mc, cap), jnp.float32)
-    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+    for i, k in enumerate(ks):
+        dz, dy = HALF_OFFSETS5[k]
         r2p, _, _, _ = _pair_geom_static(
-            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
         cnt += jnp.where(r2p < r2cut, 1.0, 0.0).sum(axis=-1)
     out_ref[0] = cnt
 
@@ -445,23 +519,32 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     round-1 k-grid)."""
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
-    counts = pl.pallas_call(
-        functools.partial(_count_half_kernel, spec=spec, radius=radius),
-        grid=(mc, mc),
-        in_specs=_win_specs_merged(spec),
-        out_specs=pl.BlockSpec((1, mc, cap),
-                               lambda z, y: (z * mc + y, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
-        interpret=interpret,
-    )(*([windows] * 5)).astype(jnp.int32)
-    return counts
+    specs = _win_specs_merged(spec)
+    groups = ([(k,) for k in range(5)] if _split_rows(spec)
+              else [(0, 1, 2, 3, 4)])
+    counts = None
+    for ks in groups:
+        c = pl.pallas_call(
+            functools.partial(_count_half_kernel, spec=spec, radius=radius,
+                              ks=ks),
+            grid=(mc, mc),
+            in_specs=[specs[k] for k in ks] + [specs[0]],
+            out_specs=pl.BlockSpec((1, mc, cap),
+                                   lambda z, y: (z * mc + y, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap),
+                                           jnp.float32),
+            interpret=interpret,
+        )(*([windows] * len(ks)), windows)
+        counts = c if counts is None else counts + c
+    return counts.astype(jnp.int32)
 
 
-def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
-    """Half-sweep neighbor-list emission, all five offset rows in ONE
-    program: packed cluster bitmasks (the consumable list artifact, cf.
-    GROMACS cluster lists PAPERS.md:9) AND per-slot half counts.
+def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
+                      ks=(0, 1, 2, 3, 4)):
+    """Half-sweep neighbor-list emission for the offset rows in ``ks``:
+    packed cluster bitmasks (the consumable list artifact, cf. GROMACS
+    cluster lists PAPERS.md:9) AND per-slot half counts.
 
     The masks are packed over the OWN-SLOT axis (bit i of word w at
     (k, row, x, lane l) says own slot i' = MASK_BITS*w + i of cell
@@ -474,10 +557,11 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
     integer shift, NOT jnp.exp2, builds them — the VPU's exp2 is
     approximate (exp2(23.0) = 8388604.5) and would corrupt the packing.
     The count channel keeps the counts kernel's single lane reduction."""
-    nbr_refs = refs[:5]
-    outm_ref = refs[5]
-    outc_ref = refs[6]
-    own_ref = nbr_refs[0]
+    n = len(ks)
+    nbr_refs = refs[:n]
+    own_ref = refs[n]
+    outm_ref = refs[n + 1]
+    outc_ref = refs[n + 2]
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
     r2cut = jnp.float32(radius * radius)
@@ -492,14 +576,71 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True):
         for w in range(words)
     ]
     cnt = jnp.zeros((mc, cap), jnp.float32)
-    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+    for i, k in enumerate(ks):
+        dz, dy = HALF_OFFSETS5[k]
         r2p, _, _, _ = _pair_geom_static(
-            nbr_refs[k], own_ref, dz, dy, spec, zwrap)
+            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
         hit = jnp.where(r2p < r2cut, 1.0, 0.0)
         cnt += hit.sum(axis=-1)  # per-row reduce beats a wide accumulator
         for w in range(words):
-            outm_ref[k * words + w, 0] = jnp.sum(hit * wweights[w], axis=1)
+            outm_ref[i * words + w, 0] = jnp.sum(hit * wweights[w], axis=1)
     outc_ref[0] = cnt
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
+                     spec: DenseSpec, radius: float,
+                     interpret: bool = False):
+    """The neighbor-list BUILD artifact (BASELINE.json:5 "fixed-capacity
+    padded half-neighbor lists", in TPU-native cluster-compressed form):
+
+      counts (R, mc, cap) i32 — half neighbor count per slot (each
+        unordered pair attributed once); total pairs = sum(counts * valid).
+      masks (5, words, R, mc, 3cap) i32 — packed cluster bitmasks: for
+        offset row k (HALF_OFFSETS5), cell row r, own cell x and window
+        lane l, bit i of word w says own slot MASK_BITS*w + i of cell
+        (r, x) has the (z+dz, y+dy) row's window lane l — partner cell
+        x + l//cap - 1, slot l % cap — as a neighbor within ``radius``.
+        Works at any cap (words spans the slot axis). The total popcount
+        equals the total pair count (each pair sets exactly one bit).
+
+    One kernel pass emits both (one pass per offset row at _split_rows
+    shapes); ~half the full sweep's pair evals."""
+    mc, cap = spec.mc, spec.cap
+    words = mask_words(cap)
+    windows = make_windows(pos4, valid_f32, spec)
+    specs = _win_specs_merged(spec)
+    groups = ([(k,) for k in range(5)] if _split_rows(spec)
+              else [(0, 1, 2, 3, 4)])
+    mask_parts = []
+    counts = None
+    for ks in groups:
+        nm = len(ks) * words
+        m, c = pl.pallas_call(
+            functools.partial(_list_half_kernel, spec=spec, radius=radius,
+                              ks=ks),
+            grid=(mc, mc),
+            in_specs=[specs[k] for k in ks] + [specs[0]],
+            out_specs=[
+                pl.BlockSpec((nm, 1, mc, 3 * cap),
+                             lambda z, y: (0, z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nm, spec.rows, mc, 3 * cap),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*([windows] * len(ks)), windows)
+        mask_parts.append(m)
+        counts = c if counts is None else counts + c
+    masks = (mask_parts[0] if len(mask_parts) == 1
+             else jnp.concatenate(mask_parts, axis=0))
+    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
+    return counts.astype(jnp.int32), masks
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -553,49 +694,6 @@ def dense_counts(pos4: jnp.ndarray, valid_f32: jnp.ndarray, spec: DenseSpec,
         interpret=interpret,
     )(windows, windows, windows, windows).astype(jnp.int32)
     return counts
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
-                     spec: DenseSpec, radius: float,
-                     interpret: bool = False):
-    """The neighbor-list BUILD artifact (BASELINE.json:5 "fixed-capacity
-    padded half-neighbor lists", in TPU-native cluster-compressed form):
-
-      counts (R, mc, cap) i32 — half neighbor count per slot (each
-        unordered pair attributed once); total pairs = sum(counts * valid).
-      masks (5, words, R, mc, 3cap) i32 — packed cluster bitmasks: for
-        offset row k (HALF_OFFSETS5), cell row r, own cell x and window
-        lane l, bit i of word w says own slot MASK_BITS*w + i of cell
-        (r, x) has the (z+dz, y+dy) row's window lane l — partner cell
-        x + l//cap - 1, slot l % cap — as a neighbor within ``radius``.
-        Works at any cap (words spans the slot axis). The total popcount
-        equals the total pair count (each pair sets exactly one bit).
-
-    One kernel pass emits both; ~half the full sweep's pair evals."""
-    mc, cap = spec.mc, spec.cap
-    words = mask_words(cap)
-    windows = make_windows(pos4, valid_f32, spec)
-    masks, counts = pl.pallas_call(
-        functools.partial(_list_half_kernel, spec=spec, radius=radius),
-        grid=(mc, mc),
-        in_specs=_win_specs_merged(spec),
-        out_specs=[
-            pl.BlockSpec((5 * words, 1, mc, 3 * cap),
-                         lambda z, y: (0, z * mc + y, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*([windows] * 5))
-    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
-    return counts.astype(jnp.int32), masks
 
 
 def mask_slot_counts(masks: jnp.ndarray, cap: int) -> jnp.ndarray:

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from md_neighbor_list_tpu.ops import pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
 from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
                                                    _force_half_kernel,
@@ -110,13 +111,42 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     layer — ppermute it right and add to the receiver's first layer.
     PE is attributed once per pair to the evaluating device's own slot."""
     mc, cap, nz = spec.mc, spec.cap, spec.nz
-    nch = 16 if want_pe else 15
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
+    specs = _slab_win_specs_merged(spec)
+
+    def rehome(force, seam, r, dz, dy):
+        """Reaction rows computed by layer z FOR (z+dz, y+dy): y rolls
+        periodically (full box); the last owned layer's dz=1 share crosses
+        the slab face (the seam), the rest re-homes locally."""
+        if dy != 0:
+            r = jnp.roll(r, dy, axis=2)
+        if dz == 0:
+            return force + r, seam
+        return force.at[:, 1:].add(r[:, : nz - 1]), seam + r[:, nz - 1]
+
+    if pallas_force._split_rows(spec):
+        force = None
+        seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
+        pe = None
+        for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+            out = pallas_force._call_force_k(
+                windows, spec, rc, want_pe, interpret, False, k, specs,
+                (nz, mc), spec.rows)
+            fk = out[:3].reshape(3, nz, mc, mc, cap)
+            force = fk if force is None else force + fk
+            r = out[3:6].reshape(3, nz, mc, mc, cap)
+            force, seam = rehome(force, seam, r, dz, dy)
+            if want_pe:
+                pe = out[6] if pe is None else pe + out[6]
+        return (force.reshape(3, spec.rows, mc, cap), seam,
+                pe.reshape(spec.rows, mc, cap) if want_pe else None)
+
+    nch = 16 if want_pe else 15
     out = pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
                           want_pe=want_pe, zwrap=False),
         grid=(nz, mc),
-        in_specs=_slab_win_specs_merged(spec),
+        in_specs=specs + [specs[0]],
         out_specs=pl.BlockSpec(
             (nch, 1, mc, cap),
             lambda z, y: (0, z * mc + y, 0, 0),
@@ -126,7 +156,7 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             (nch, spec.rows, mc, cap), jnp.float32
         ),
         interpret=interpret,
-    )(*([windows] * 5))
+    )(*([windows] * 6))
     # channels 0-2: own force incl. the (0,0) row's reaction (in-kernel)
     force = out[:3].reshape(3, nz, mc, mc, cap)
     seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
@@ -134,15 +164,7 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
         if kk == 0:
             continue
         r = out[3 * kk:3 * kk + 3].reshape(3, nz, mc, mc, cap)
-        if dy != 0:
-            r = jnp.roll(r, dy, axis=2)  # y is periodic in the full box
-        if dz == 0:
-            force = force + r
-        else:
-            # computed by layer z FOR layer z+1: last layer's share crosses
-            # the slab face (the seam), the rest re-homes locally
-            force = force.at[:, 1:].add(r[:, : nz - 1])
-            seam = seam + r[:, nz - 1]
+        force, seam = rehome(force, seam, r, dz, dy)
     force = force.reshape(3, spec.rows, mc, cap)
     pe = out[15].reshape(spec.rows, mc, cap) if want_pe else None
     return force, seam, pe
@@ -158,25 +180,36 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     mc, cap, nz = spec.mc, spec.cap, spec.nz
     words = mask_words(cap)
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
-    masks, counts = pl.pallas_call(
-        functools.partial(_list_half_kernel, spec=spec, radius=radius,
-                          zwrap=False),
-        grid=(nz, mc),
-        in_specs=_slab_win_specs_merged(spec),
-        out_specs=[
-            pl.BlockSpec((5 * words, 1, mc, 3 * cap),
-                         lambda z, y: (0, z * mc + y, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
-        ],
-        interpret=interpret,
-    )(*([windows] * 5))
+    specs = _slab_win_specs_merged(spec)
+    groups = ([(k,) for k in range(5)]
+              if pallas_force._split_rows(spec) else [(0, 1, 2, 3, 4)])
+    mask_parts = []
+    counts = None
+    for ks in groups:
+        nm = len(ks) * words
+        m, c = pl.pallas_call(
+            functools.partial(_list_half_kernel, spec=spec, radius=radius,
+                              zwrap=False, ks=ks),
+            grid=(nz, mc),
+            in_specs=[specs[k] for k in ks] + [specs[0]],
+            out_specs=[
+                pl.BlockSpec((nm, 1, mc, 3 * cap),
+                             lambda z, y: (0, z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nm, spec.rows, mc, 3 * cap),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*([windows] * len(ks)), windows)
+        mask_parts.append(m)
+        counts = c if counts is None else counts + c
+    masks = (mask_parts[0] if len(mask_parts) == 1
+             else jnp.concatenate(mask_parts, axis=0))
     masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
     return counts.astype(jnp.int32), masks
 
