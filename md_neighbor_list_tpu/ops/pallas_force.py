@@ -284,16 +284,18 @@ def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
     return r2p, dxv, dyv, dzv
 
 
-def _split_rows(spec) -> bool:
+def _split_rows(spec, want_pe: bool = False) -> bool:
     """True when the 5-row merged kernel would blow the 16 MB scoped-VMEM
     stack and each offset row must go in its OWN pallas_call (hard
     temporary isolation — Mosaic's scheduler overlaps the unrolled rows'
     temporaries regardless of source-level structure: an x-chunked variant
     of the merged kernel still demanded 29.4 MB at N=8M shapes). Measured
-    model: the merged force kernel peaks at ~16 live (mc, cap, 3cap) f32
-    intermediates (21.9 MB demanded at mc=71, cap=40 — the N=8M OOM;
-    ~6.9 MB at mc=35, cap=32, which fits)."""
-    return 16 * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
+    model: the merged hot-path force kernel peaks at ~16 live
+    (mc, cap, 3cap) f32 intermediates (21.9 MB demanded at mc=71, cap=40
+    — the N=8M OOM; fits at mc=35); the want_pe variant (exact divide +
+    PE accumulator) peaks at ~29 (19.4 MB demanded at mc=35, cap=40)."""
+    live = 29 if want_pe else 16
+    return live * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
 
 
 def _fold_rxn(r, mc: int, cap: int):
@@ -440,7 +442,7 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
     specs = _win_specs_merged(spec)
-    if _split_rows(spec):
+    if _split_rows(spec, want_pe):
         force = None
         pe = None
         for k, (dz, dy) in enumerate(HALF_OFFSETS5):

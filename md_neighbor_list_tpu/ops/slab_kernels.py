@@ -124,7 +124,7 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             return force + r, seam
         return force.at[:, 1:].add(r[:, : nz - 1]), seam + r[:, nz - 1]
 
-    if pallas_force._split_rows(spec):
+    if pallas_force._split_rows(spec, want_pe):
         force = None
         seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
         pe = None
