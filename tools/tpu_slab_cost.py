@@ -4,7 +4,10 @@ the same per-device N).
 
 Only one chip exists here, so this measures ONE device's slab workload
 (device 0 of a P-slab decomposition of an N = P x 1M box, ghost layer
-included) against the single-chip cube at N = 1M. The collectives this
+included) against the single-chip cube at N = 1M, both at the SAME cap
+(default 40: the cold-lattice configuration packs 4 lattice planes into
+the anisotropic slab's widest z-cells — 36 per cell — so cap=32 would
+truncate; production runs at this scale use cap=40 too). The collectives this
 leaves out are two (3, mc, mc, cap) layer ppermutes per step — ~4 MB over
 ICI per step, negligible next to the ~25 ms of kernel work they overlap.
 """
@@ -27,7 +30,7 @@ from md_neighbor_list_tpu.parallel.dense_slab import make_slab_spec
 ap = argparse.ArgumentParser()
 ap.add_argument("--per-device-n", type=int, default=1_000_000)
 ap.add_argument("--p", type=int, default=8)
-ap.add_argument("--cap", type=int, default=32)
+ap.add_argument("--cap", type=int, default=40)
 ap.add_argument("--reps", type=int, default=10)
 args = ap.parse_args()
 P, CAP = args.p, args.cap
