@@ -92,3 +92,24 @@ def test_capacity_estimator_covers_measured(rng):
     cap = estimate(rho=1.0, rs=2.8, cell_size=grid.cell_size, half_list=True)
     bins = bin_particles(pos, grid, cap.cell, "morton")
     assert int(bins.cell_max) <= cap.cell
+
+
+def test_hierarchical_count_less_matches_numpy():
+    """dense_cells._count_less (the hierarchical row-start search) ==
+    numpy searchsorted-left across sizes spanning its recursion levels,
+    including out-of-range queries on both sides."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from md_neighbor_list_tpu.ops.dense_cells import _count_less
+
+    rng = np.random.default_rng(7)
+    for size in (64, 8192, 50_000, 1_200_000):
+        keys = np.sort(rng.integers(0, 40_000, size).astype(np.int32))
+        q = np.unique(rng.integers(-10, 40_010, 257).astype(np.int32))
+        q = np.concatenate([
+            q, [keys[0] - 1, keys[0], keys[-1], keys[-1] + 1, 2**31 - 1]
+        ]).astype(np.int32)
+        want = np.searchsorted(keys, q, side="left")
+        got = np.asarray(_count_less(jnp.asarray(keys), jnp.asarray(q)))
+        np.testing.assert_array_equal(got, want)
