@@ -63,16 +63,6 @@ class DenseSpec:
     def slots(self) -> int:  # S: total slots
         return self.ncells * self.cap
 
-    @property
-    def row_window(self) -> int:
-        """W: sorted-stream window covering one row of cells, padded so the
-        HBM->VMEM DMA slice is 128-lane aligned (Mosaic requirement) with
-        room for a 128-aligned start (the true row start is rounded down to
-        a 128 boundary; leading strangers belong to earlier rows and fall
-        out of the key-count offsets naturally)."""
-        w = self.mc * self.cap
-        return ((w + 127) // 128) * 128 + 128
-
 
 def grow_cap(cap: int) -> int:
     """Next cell capacity after an overflow: +25% (at least one 8-sublane
@@ -126,10 +116,34 @@ def cell_keys(state: DenseState, spec: DenseSpec) -> jnp.ndarray:
 
 
 # ------------------------------------------------------------ expand kernel
+def _expand_group(mc: int, cap: int) -> int:
+    """(z, y) rows handled per expand program. Measured NEUTRAL at N=1M
+    (14.6 ms rebuild either way): the kernel's ~8 ms floor is DMA-wait
+    bound, not launch bound (ablations: redistribute rolls -2.1 ms,
+    offsets -0, halving the program count -0). G=2 is kept — it halves
+    the program count at no cost and the padded-tail path is tested —
+    but the group's (G*mc, W) temporaries must stay well under the 16 MB
+    scoped-VMEM stack, so N=8M shapes (mc=71, cap=40, ~13 MB with
+    Mosaic's scheduling overlap) stay at G=1."""
+    # ~4 live (2mc, W) f32 arrays at redistribute peak (rep + rolled +
+    # the compare matrix + slack)
+    demand = 4 * (2 * mc) * _expand_window(mc, cap, 2) * 4
+    return 2 if demand <= (8 << 20) else 1
+
+
+def _expand_window(mc: int, cap: int, G: int) -> int:
+    """Sorted-stream DMA window for a G-row program: G rows of records
+    plus room for a 128-aligned start (the true start is rounded down to
+    a 128 boundary; leading strangers belong to earlier rows and fall out
+    of the key-count offsets naturally)."""
+    return ((G * mc * cap + 127) // 128) * 128 + 128
+
+
 def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
-                   spec, key_base: int):
-    """Per (z, y) row: DMA the sorted-record window for this row's cells and
-    redistribute each cell's run to its fixed cap-stride slots.
+                   spec, key_base: int, G: int):
+    """Per G-row group of (z, y) rows: DMA the sorted-record window for the
+    group's cells and redistribute each cell's run to its fixed cap-stride
+    slots.
 
     The redistribution out[c*cap + s] = window[off_c + s] is a per-sublane
     variable ROLL, realized as log2(W) conditional power-of-two rolls — the
@@ -138,13 +152,15 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     consecutive grid programs (persistent scratch), and slot validity comes
     from per-cell run LENGTHS (slot < len_c) so only the 7 payload channels
     are redistributed, not the key channel."""
-    mc, cap, W = spec.mc, spec.cap, spec.row_window
+    mc, cap = spec.mc, spec.cap
+    W = _expand_window(mc, cap, G)
+    gm = G * mc
     r = pl.program_id(0)
-    nrows = pl.num_programs(0)
+    nprogs = pl.num_programs(0)
     slot = jax.lax.rem(r, 2)
 
-    def dma(row, buf):
-        start = (row_start_ref[row] // 128) * 128  # 128-aligned DMA start
+    def dma(prog, buf):
+        start = (row_start_ref[prog * G] // 128) * 128  # 128-aligned start
         return pltpu.make_async_copy(
             recs_hbm.at[:, pl.ds(start, W)], win2.at[buf], sems.at[buf]
         )
@@ -153,7 +169,7 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     def _():
         dma(0, 0).start()
 
-    @pl.when(r + 1 < nrows)
+    @pl.when(r + 1 < nprogs)
     def _():
         dma(r + 1, jax.lax.rem(r + 1, 2)).start()
 
@@ -161,29 +177,31 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
 
     keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
     # off[c] = first window index of cell c's run = #keys < cell_id;
-    # one extra row (mc+1) gives run lengths len_c = off[c+1] - off[c].
+    # one extra row (gm+1) gives run lengths len_c = off[c+1] - off[c].
     # key_base: first cell key of row 0 (nonzero for the slab layout,
-    # whose sorted stream leads with emigrant records keyed below it)
+    # whose sorted stream leads with emigrant records keyed below it).
+    # A padded tail row (R odd, G=2) points its cell_ids at/past the
+    # guard key — its output rows are junk and sliced off by the caller.
     cell_ids = (
-        key_base + r * mc
-        + jax.lax.broadcasted_iota(jnp.int32, (mc + 1, 1), 0)
+        key_base + r * gm
+        + jax.lax.broadcasted_iota(jnp.int32, (gm + 1, 1), 0)
     ).astype(jnp.float32)
-    less = (keys < cell_ids).astype(jnp.int32)  # (mc+1, W)
-    off_ext = jnp.sum(less, axis=1, keepdims=True)  # (mc+1, 1)
-    off = off_ext[:mc]
+    less = (keys < cell_ids).astype(jnp.int32)  # (gm+1, W)
+    off_ext = jnp.sum(less, axis=1, keepdims=True)  # (gm+1, 1)
+    off = off_ext[:gm]
     length = off_ext[1:] - off
     # right-roll row c by (W - off + 128): after the COARSE (>=128) bits the
     # run start lands in lanes [1, 128] of the window, so the FINE (<128)
     # bits only need to roll a 2-tile slice — ~2x less lane-rotation work
-    # than rolling the full 13-tile width at every bit level. The +128 bias
+    # than rolling the full window width at every bit level. The +128 bias
     # also kills the off % 128 == 0 edge (which would land at lane 0 before
     # coarse completion... i.e., outside any trailing slice).
     shift = jnp.mod(W - off + 128, W)
 
     fine_w = 128 + ((cap + 127) // 128) * 128  # slice holding lane 128+cap
 
-    def redistribute(plane):  # (1, W) -> (mc, cap)
-        rep = jnp.broadcast_to(plane, (mc, W))
+    def redistribute(plane):  # (1, W) -> (gm, cap)
+        rep = jnp.broadcast_to(plane, (gm, W))
         b = 128
         while b < W:
             rolled = pltpu.roll(rep, b, axis=1)
@@ -198,16 +216,16 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
         # after the fine bits the run starts exactly at lane 128
         return rep[:, 128 : 128 + cap]
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (mc, cap), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (gm, cap), 1)
     slot_valid = slot_iota < jnp.minimum(length, cap)
 
     for comp in range(6):  # x, y, z, vx, vy, vz
         d = redistribute(win2[slot, comp : comp + 1, :])
         if comp >= 3:  # velocities of empty slots must be zero
             d = jnp.where(slot_valid, d, 0.0)
-        out_f32[comp, 0] = d
+        out_f32[comp] = d.reshape(G, mc, cap)
     pid = redistribute(win2[slot, 6:7, :]).astype(jnp.int32)
-    out_pid[0] = jnp.where(slot_valid, pid, -1)
+    out_pid[...] = jnp.where(slot_valid, pid, -1).reshape(G, mc, cap)
 
 
 _RS_STRIDE = 128  # per-level subsample stride of the hierarchical search
@@ -262,13 +280,17 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     each (M,) f32. Records keyed outside [key_base, key_base + rows*mc)
     are dropped (emigrants sort below, parked/foreign records above) —
     the slab engine leans on exactly this. ``spec`` is duck-typed: any
-    object with mc/cap/rows/row_window (cube DenseSpec or slab SlabSpec).
+    object with mc/cap/rows (cube DenseSpec or slab SlabSpec).
 
     Returns (DenseState over spec.rows rows, row_start). Slot-count
     conservation is the caller's overflow check — a cell run longer than
     cap is truncated by the expand kernel and detected as a lost particle
     (SURVEY.md §4.3 overflow protocol)."""
-    mc, cap, W = spec.mc, spec.cap, spec.row_window
+    mc, cap = spec.mc, spec.cap
+    G = _expand_group(mc, cap)
+    nprog = (spec.rows + G - 1) // G
+    rows_pad = nprog * G
+    W = _expand_window(mc, cap, G)
     out = lax.sort((keys,) + tuple(chans), dimension=0, num_keys=1)
     k_s = out[0]
     # one concat builds the padded record matrix: W guard columns for the
@@ -287,15 +309,15 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(spec.rows,),
+        grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (6, 1, mc, cap), lambda r, *_: (0, r, 0, 0),
+                (6, G, mc, cap), lambda r, *_: (0, r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, mc, cap), lambda r, *_: (r, 0, 0),
+                (G, mc, cap), lambda r, *_: (r, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -305,14 +327,18 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
         ],
     )
     posvel, pid4 = pl.pallas_call(
-        functools.partial(_expand_kernel, spec=spec, key_base=key_base),
+        functools.partial(_expand_kernel, spec=spec, key_base=key_base,
+                          G=G),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((6, spec.rows, mc, cap), jnp.float32),
-            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.int32),
+            jax.ShapeDtypeStruct((6, rows_pad, mc, cap), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, mc, cap), jnp.int32),
         ],
         interpret=interpret,
     )(row_start, recs)
+    if rows_pad != spec.rows:  # drop the junk tail row of the padded group
+        posvel = posvel[:, : spec.rows]
+        pid4 = pid4[: spec.rows]
 
     new = DenseState(pos=posvel[:3], vel=posvel[3:], pid=pid4)
     return new, row_start

@@ -70,13 +70,6 @@ class SlabSpec:
     def slots(self) -> int:
         return self.ncells * self.cap
 
-    @property
-    def row_window(self) -> int:
-        """Sorted-stream DMA window per row — same contract as
-        DenseSpec.row_window."""
-        w = self.mc * self.cap
-        return ((w + 127) // 128) * 128 + 128
-
     def ext(self) -> "SlabSpec":
         """Spec covering the extended (owned + right ghost layer) block."""
         return dataclasses.replace(self, nz=self.nz + 1)

@@ -325,3 +325,24 @@ def test_split_row_kernels_match_merged(monkeypatch):
     assert df <= 1e-4 * max(scale, 1.0), df
     dpe = float(jnp.max(jnp.where(vm, jnp.abs(pe_ref - pe2), 0.0)))
     assert dpe <= 1e-4, dpe
+
+
+def test_expand_kernel_odd_rows_grouped():
+    """The grouped expand kernel (2 rows per program) pads an odd row
+    count with a junk tail row — bitwise parity at mc=5 (25 rows) covers
+    the padded-group path."""
+    from md_neighbor_list_tpu.ops.dense_cells import _expand_group
+
+    system, box = init_lattice(3375, 1.0, jax.random.PRNGKey(0), 1.0)
+    spec = make_spec(box, 2.8, cap=32)
+    assert spec.rows % 2 == 1 and _expand_group(spec.mc, spec.cap) == 2
+    st = from_packed(system.pos, system.vel, system.pid, spec)
+    got, _ = rebuild_dense(st, spec, True)
+    want = dense_ref.rebuild_reference(st, spec)
+    np.testing.assert_array_equal(np.asarray(got.pid), np.asarray(want.pid))
+    vm = np.asarray(want.pid) >= 0
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(got.pos[i])[vm], np.asarray(want.pos[i])[vm])
+        np.testing.assert_array_equal(
+            np.asarray(got.vel[i])[vm], np.asarray(want.vel[i])[vm])
