@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from md_neighbor_list_tpu.ops.dense_cells import DenseSpec
 
 
-MASK_BITS = 24  # bits per packed mask word (exact-in-f32 packing, see below)
+MASK_BITS = 32  # bits per packed i32 mask word (sum == OR: distinct bits)
 
 
 def mask_words(cap: int) -> int:
@@ -554,10 +554,11 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     over slots makes the packing reduction run over SUBLANES — cheap
     vector adds — where round 2's first cut packed over window lanes and
     paid a full cross-lane reduction per word (22.7 ms vs 16.7 ms at
-    N=1M, cap=32). Weights are distinct powers of two below 2^MASK_BITS,
-    so f32 accumulation is exact (MASK_BITS = 24 = the f32 significand);
-    integer shift, NOT jnp.exp2, builds them — the VPU's exp2 is
-    approximate (exp2(23.0) = 8388604.5) and would corrupt the packing.
+    N=1M, cap=32). Words are full i32 (MASK_BITS = 32, so cap=32 needs
+    ONE word where 24-bit f32 packing needed two — measured 1.0 ms off
+    the pass): bits within a word are distinct, so the i32 SUM carries
+    nothing and equals the OR, including the sign bit (adding 1<<31 once
+    is exact in two's complement). Integer shift builds the weights.
     The count channel keeps the counts kernel's single lane reduction."""
     n = len(ks)
     nbr_refs = refs[:n]
@@ -568,13 +569,11 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     words = mask_words(cap)
     r2cut = jnp.float32(radius * radius)
     slot = jax.lax.broadcasted_iota(jnp.int32, (mc, cap, 3 * cap), 1)
-    # per-word static weights: 2^(slot % 24) on word w's slot group, 0 off
-    # it — one multiply per (k, w) instead of a shared-weights multiply
-    # plus a select
+    # per-word static i32 weights: 1 << (slot % 32) on word w's slot
+    # group, 0 off it — one select per (k, w)
     wweights = [
         jnp.where(slot // MASK_BITS == w,
-                  (jnp.int32(1) << jnp.mod(slot, MASK_BITS)
-                   ).astype(jnp.float32), 0.0)
+                  jnp.int32(1) << jnp.mod(slot, MASK_BITS), 0)
         for w in range(words)
     ]
     cnt = jnp.zeros((mc, cap), jnp.float32)
@@ -582,10 +581,11 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
         dz, dy = HALF_OFFSETS5[k]
         r2p, _, _, _ = _pair_geom_static(
             nbr_refs[i], own_ref, dz, dy, spec, zwrap)
-        hit = jnp.where(r2p < r2cut, 1.0, 0.0)
-        cnt += hit.sum(axis=-1)  # per-row reduce beats a wide accumulator
+        hitb = r2p < r2cut
+        cnt += jnp.where(hitb, 1.0, 0.0).sum(axis=-1)  # per-row reduce
         for w in range(words):
-            outm_ref[i * words + w, 0] = jnp.sum(hit * wweights[w], axis=1)
+            outm_ref[i * words + w, 0] = jnp.sum(
+                jnp.where(hitb, wweights[w], 0), axis=1)
     outc_ref[0] = cnt
 
 
@@ -632,7 +632,7 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nm, spec.rows, mc, 3 * cap),
-                                     jnp.float32),
+                                     jnp.int32),
                 jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
             ],
             interpret=interpret,
@@ -641,7 +641,7 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
         counts = c if counts is None else counts + c
     masks = (mask_parts[0] if len(mask_parts) == 1
              else jnp.concatenate(mask_parts, axis=0))
-    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
+    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap)
     return counts.astype(jnp.int32), masks
 
 

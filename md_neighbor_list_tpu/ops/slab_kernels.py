@@ -194,7 +194,7 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nm, spec.rows, mc, 3 * cap),
-                                     jnp.float32),
+                                     jnp.int32),
                 jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
             ],
             interpret=interpret,
@@ -203,7 +203,7 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
         counts = c if counts is None else counts + c
     masks = (mask_parts[0] if len(mask_parts) == 1
              else jnp.concatenate(mask_parts, axis=0))
-    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap).astype(jnp.int32)
+    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap)
     return counts.astype(jnp.int32), masks
 
 
