@@ -39,6 +39,44 @@ def fetch_scalar(x) -> float:
     return float(np.asarray(x))
 
 
+N_WINDOWS = 5
+
+
+def timed_windows(run_once, steps: int):
+    """Run ``run_once`` (one fenced window of ``steps`` MD steps) N_WINDOWS
+    times and summarize with stall rejection: the relay tunnel occasionally
+    freezes one dispatch for ~2 minutes (measured in round 2: 3.97 /
+    17.84 / 4.47 s windows in one loop), so windows slower than 1.5x the
+    fastest are classed as stalled and excluded; steps/s is the MEDIAN of
+    the un-stalled windows (VERDICT r2 item 4 — min-of-N favored windows
+    with fewer rebuilds; all window durations + per-window rebuild counts
+    go in the JSON)."""
+    elapsed, rebuilds = [], []
+    for _ in range(N_WINDOWS):
+        t0 = time.perf_counter()
+        nr = run_once()
+        elapsed.append(time.perf_counter() - t0)
+        rebuilds.append(nr)
+    lo = min(elapsed)
+    unstalled = [e for e in elapsed if e <= 1.5 * lo]
+    steps_per_s = steps / float(np.median(unstalled))
+    per_window = [rebuilds[0]] + [
+        b - a for a, b in zip(rebuilds, rebuilds[1:])
+    ]
+    log(
+        f"steps/s: {steps_per_s:.2f} = median of {len(unstalled)}/"
+        f"{N_WINDOWS} un-stalled windows of {steps} steps "
+        f"({', '.join(f'{e:.2f}' for e in elapsed)} s; rebuilds/window "
+        f"{per_window})"
+    )
+    return steps_per_s, {
+        "windows_s": [round(e, 3) for e in elapsed],
+        "windows_unstalled": len(unstalled),
+        "rebuilds_per_window": per_window,
+        "steps_per_window": steps,
+    }
+
+
 def bench_pallas(cfg, args):
     from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
     from md_neighbor_list_tpu.ops import pallas_force
@@ -109,25 +147,23 @@ def bench_pallas(cfg, args):
     reducer = jax.jit(
         lambda c: jnp.sum(c.state.vel) + c.n_rebuilds.astype(jnp.float32)
     )
-    # One device dispatch per timed window (chunk = the whole window) and
-    # best-of-3 windows: the relay tunnel occasionally stalls a single
-    # dispatch for ~2 minutes (measured: 3 fast 0.14 s chunks then one
-    # 133 s chunk in the same loop), which poisons any single-window
-    # number; the un-stalled windows agree to a few percent.
-    carry = sim.run(carry, args.steps, chunk=args.steps)  # warm + compile
-    fetch_scalar(reducer(carry))
-    elapsed = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        carry = sim.run(carry, args.steps, chunk=args.steps)
-        fetch_scalar(reducer(carry))
-        elapsed.append(time.perf_counter() - t0)
-    steps_per_s = args.steps / min(elapsed)
-    rebuilds = int(fetch_scalar(carry.n_rebuilds))
-    log(f"steps/s: {steps_per_s:.2f} (3 windows of {args.steps} steps: "
-        f"{', '.join(f'{e:.2f}' for e in elapsed)} s; "
-        f"{rebuilds} total rebuilds)")
-    return build_ms, steps_per_s, pairs, {"cap": spec.cap, "mc": spec.mc}
+    # One device dispatch per timed window (chunk = the whole window);
+    # stall rejection + median in timed_windows.
+    carry_box = [sim.run(carry, args.steps, chunk=args.steps)]  # warm
+    fetch_scalar(reducer(carry_box[0]))
+
+    def run_once():
+        carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
+        fetch_scalar(reducer(carry_box[0]))
+        return int(fetch_scalar(carry_box[0].n_rebuilds))
+
+    steps_per_s, windows = timed_windows(run_once, args.steps)
+    return build_ms, steps_per_s, pairs, {
+        "cap": spec.cap, "mc": spec.mc,
+        "timed": "rebuild + one-pass half-list kernel (packed cluster "
+                 "bitmasks + half counts)",
+        **windows,
+    }
 
 
 def bench_xla(cfg, args):
@@ -140,8 +176,17 @@ def bench_xla(cfg, args):
     @jax.jit
     def chained(system):
         def body(i, acc):
-            c = build(system)
-            return acc + c.nbr.max_count
+            # perturb so iterations differ; fence the COMPLETE artifact —
+            # padded (N, K) idx rows AND counts — the same "consumable
+            # neighbor list" contract the dense path times (VERDICT r2
+            # item 7: round 2 fenced max_count only, letting XLA dead-code
+            # parts of the idx emission)
+            s = system._replace(
+                pos=system.pos + (i % 2).astype(jnp.float32) * 1e-6
+            )
+            c = build(s)
+            return (acc + c.nbr.max_count
+                    + jnp.sum(c.nbr.idx[:, 0]) + c.nbr.idx[0, -1])
         return jax.lax.fori_loop(0, args.reps, body, jnp.zeros((), jnp.int32))
 
     fetch_scalar(chained(carry.system))
@@ -149,18 +194,25 @@ def bench_xla(cfg, args):
     fetch_scalar(chained(carry.system))
     build_ms = (time.perf_counter() - t0) * 1e3 / args.reps
 
-    reducer = jax.jit(lambda c: jnp.sum(c.system.vel))
-    carry = sim.run(carry, args.steps, chunk=args.steps)
-    fetch_scalar(reducer(carry))
-    elapsed = []
-    for _ in range(3):  # best-of-3 single-dispatch windows (tunnel stalls)
-        t0 = time.perf_counter()
-        carry = sim.run(carry, args.steps, chunk=args.steps)
-        fetch_scalar(reducer(carry))
-        elapsed.append(time.perf_counter() - t0)
-    steps_per_s = args.steps / min(elapsed)
+    reducer = jax.jit(
+        lambda c: jnp.sum(c.system.vel)
+        + c.nbr.n_rebuilds.astype(jnp.float32)
+    )
+    carry_box = [sim.run(carry, args.steps, chunk=args.steps)]
+    fetch_scalar(reducer(carry_box[0]))
+
+    def run_once():
+        carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
+        fetch_scalar(reducer(carry_box[0]))
+        return int(fetch_scalar(carry_box[0].nbr.n_rebuilds))
+
+    steps_per_s, windows = timed_windows(run_once, args.steps)
     log(f"xla: build {build_ms:.2f} ms, {steps_per_s:.2f} steps/s")
-    return build_ms, steps_per_s, None, {"K": sim.capacity.neighbors}
+    return build_ms, steps_per_s, None, {
+        "K": sim.capacity.neighbors,
+        "timed": "rebuild + padded (N, K) idx rows + counts",
+        **windows,
+    }
 
 
 def main() -> None:
@@ -169,8 +221,6 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--warmup-steps", type=int, default=30)
-    ap.add_argument("--chunk", type=int, default=50,
-                    help="device-side steps per jitted chunk")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cap", type=int, default=0,
                     help="dense cell capacity (grown automatically on "

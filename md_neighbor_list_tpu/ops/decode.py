@@ -1,0 +1,127 @@
+"""Consumer API for the packed neighbor-list artifact (VERDICT r2 item 6).
+
+The dense engine's list build (``ops.pallas_force.dense_lists_half``) emits
+the neighbor list in cluster-compressed form — per-offset-row cluster
+bitmasks packed over the own-slot axis, plus per-slot half counts. That
+shape is what the TPU kernels consume (masking over fixed lanes, zero
+gathers), but a downstream user of a neighbor-list library expects the
+reference's deliverable shape: explicit pairs, or fixed-capacity padded
+per-particle rows (BASELINE.json:5 "fixed-capacity padded half-neighbor
+lists"; SURVEY.md §3 R5/R8). This module is the documented bridge:
+
+    counts, masks = dense_lists_half(state.pos, valid, spec, rs)
+    i, j = decode_pairs(masks, state.pid, spec)          # pair list
+    idx, cnt = masks_to_padded(masks, state.pid, spec)    # (N, K) rows
+
+Both decoders are host-side numpy: decoding is an O(pairs) irregular
+expansion, exactly the access pattern the TPU engine exists to avoid, and
+its consumers (I/O, analysis, interop with CPU MD tooling) are host-side
+anyway. The mask format itself is documented in ``dense_lists_half``.
+
+Bit semantics (the single source of truth, mirrored from
+``pallas_force._list_half_kernel``): bit ``b`` of word ``w`` at index
+``[k, w, r, x, lane]`` says own slot ``i = MASK_BITS*w + b`` of cell
+``(z=r//mc, y=r%mc, x)`` has, as a half neighbor, slot ``lane % cap`` of
+cell ``(z+dz) % mc, (y+dy) % mc, (x + lane//cap - 1) % mc`` where
+``(dz, dy) = HALF_OFFSETS5[k]``. Each unordered pair sets exactly one bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from md_neighbor_list_tpu.ops.pallas_force import HALF_OFFSETS5, MASK_BITS
+
+
+def _decode_slots(masks, spec):
+    """Yield (own_flat, partner_flat) int64 slot-index arrays, one batch per
+    (offset row, word, bit) with any set bits. Flat index = (r*mc + x)*cap
+    + slot over the (R, mc, cap) dense layout."""
+    m = np.asarray(masks)  # (5, words, R, mc, 3cap)
+    mc, cap = spec.mc, spec.cap
+    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
+        for w in range(m.shape[1]):
+            for b in range(min(MASK_BITS, cap - MASK_BITS * w)):
+                own_slot = MASK_BITS * w + b
+                r, x, lane = np.nonzero((m[k, w] >> b) & 1)
+                if r.size == 0:
+                    continue
+                z, y = r // mc, r % mc
+                prow = ((z + dz) % mc) * mc + (y + dy) % mc
+                px = (x + lane // cap - 1) % mc
+                yield (
+                    (r.astype(np.int64) * mc + x) * cap + own_slot,
+                    (prow.astype(np.int64) * mc + px) * cap + lane % cap,
+                )
+
+
+def decode_pairs(masks, pid, spec):
+    """Decode the packed cluster bitmasks to an explicit half pair list.
+
+    Args:
+      masks: (5, words, R, mc, 3cap) i32 from ``dense_lists_half``.
+      pid:   (R, mc, cap) i32 particle ids of the SAME dense state the
+             masks were built from (slot -> global particle id).
+      spec:  the DenseSpec of that state.
+
+    Returns (i, j): int32 arrays of global particle ids with i < j
+    elementwise, each unordered pair exactly once (Newton-3 half list —
+    the total length equals the engine's pair count).
+    """
+    pid = np.asarray(pid)
+    flat = pid.reshape(-1)
+    ii, jj = [], []
+    for own, partner in _decode_slots(masks, spec):
+        pi, pj = flat[own], flat[partner]
+        if (pi < 0).any() or (pj < 0).any():
+            raise ValueError("mask bit points at an empty slot — masks and "
+                             "pid are from different states")
+        ii.append(np.minimum(pi, pj))
+        jj.append(np.maximum(pi, pj))
+    if not ii:
+        z = np.zeros((0,), np.int32)
+        return z, z.copy()
+    return (np.concatenate(ii).astype(np.int32),
+            np.concatenate(jj).astype(np.int32))
+
+
+def masks_to_padded(masks, pid, spec, n: int | None = None,
+                    k_cap: int | None = None):
+    """Convert the packed masks to the reference's deliverable shape:
+    fixed-capacity padded half-neighbor rows (BASELINE.json:5).
+
+    Args:
+      masks, pid, spec: as in ``decode_pairs``.
+      n:     particle count (default: number of valid slots).
+      k_cap: row capacity K (default: max per-particle half count, rounded
+             up to a multiple of 8).
+
+    Returns (idx, cnt): idx (N, K) i32 rows of global neighbor ids padded
+    with the sentinel N (a gather of a padded slot hits a ghost row, per
+    SURVEY.md §4.3); cnt (N,) i32 half neighbor counts. Row i holds j's
+    with (i, j) attributed to i by the kernel's Newton-3 dedup — NOT the
+    full symmetric neighborhood; symmetrize by also scanning j rows, or
+    use the pair list from ``decode_pairs``.
+    """
+    pid = np.asarray(pid)
+    flat = pid.reshape(-1)
+    if n is None:
+        n = int((flat >= 0).sum())
+    owns, partners = [], []
+    for own, partner in _decode_slots(masks, spec):
+        owns.append(flat[own])
+        partners.append(flat[partner])
+    pi = (np.concatenate(owns) if owns else np.zeros((0,), np.int64))
+    pj = (np.concatenate(partners) if partners else np.zeros((0,), np.int64))
+    cnt = np.bincount(pi, minlength=n).astype(np.int32)
+    if k_cap is None:
+        k_cap = max(8, int(-(-int(cnt.max() or 0) // 8) * 8))
+    elif int(cnt.max() or 0) > k_cap:
+        raise ValueError(f"k_cap={k_cap} < max half count {int(cnt.max())}")
+    idx = np.full((n, k_cap), n, np.int32)
+    order = np.argsort(pi, kind="stable")
+    pi, pj = pi[order], pj[order]
+    slot = np.arange(pi.size) - np.concatenate(
+        ([0], np.cumsum(cnt)))[pi]
+    idx[pi, slot] = pj
+    return idx, cnt

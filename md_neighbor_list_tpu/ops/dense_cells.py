@@ -151,7 +151,14 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     TPU", applied to binning). The window DMA is double-buffered across
     consecutive grid programs (persistent scratch), and slot validity comes
     from per-cell run LENGTHS (slot < len_c) so only the 7 payload channels
-    are redistributed, not the key channel."""
+    are redistributed, not the key channel.
+
+    G=2 overflow interaction: the window is sized for G rows of cap-bounded
+    runs, so a cell-run overflow in the group's FIRST row can push the
+    second row's runs past the shared window and drop particles from cells
+    that do not themselves overflow. Safe by protocol, not by construction:
+    every dropped particle (truncated or pushed out) fails the caller's
+    slot-count conservation check and triggers cap growth (SURVEY.md §4.3)."""
     mc, cap = spec.mc, spec.cap
     W = _expand_window(mc, cap, G)
     gm = G * mc

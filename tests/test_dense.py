@@ -186,8 +186,6 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
     O(N^2) pair set exactly, with each pair emitted exactly once. Pure
     lattice -> distances are arithmetic-path independent."""
     from md_neighbor_list_tpu.ops import pallas_force
-    from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
-                                                       MASK_BITS)
 
     state, spec, box, pos = _dense_state()  # pure lattice
     valid = state.valid().astype(jnp.float32)
@@ -203,30 +201,13 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
         np.asarray(pop)[np.asarray(vmj)], np.asarray(counts)[np.asarray(vmj)]
     )
 
-    m = np.asarray(masks)  # (5, words, R, mc, 3cap) — slot-packed
-    pid = np.asarray(state.pid)
-    mc, cap = spec.mc, spec.cap
-    pairs = []
-    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
-        for w in range(m.shape[1]):
-            for b in range(MASK_BITS):
-                i = MASK_BITS * w + b  # own slot index
-                if i >= cap:
-                    break
-                rr, xx, lane = np.nonzero((m[k, w] >> b) & 1)
-                dx = lane // cap - 1
-                j = lane % cap
-                z, y = rr // mc, rr % mc
-                prow = ((z + dz) % mc) * mc + (y + dy) % mc
-                pi = pid[rr, xx, i]
-                pj = pid[prow, (xx + dx) % mc, j]
-                assert (pi >= 0).all() and (pj >= 0).all(), "parked slot hit"
-                pairs.extend(
-                    zip(np.minimum(pi, pj).tolist(),
-                        np.maximum(pi, pj).tolist())
-                )
-    assert len(pairs) == total
-    decoded = set(pairs)
+    # the library decode API (ops.decode) is the thing under test here
+    from md_neighbor_list_tpu.ops.decode import decode_pairs, masks_to_padded
+
+    i, j = decode_pairs(masks, state.pid, spec)
+    assert i.size == total
+    assert (i < j).all()
+    decoded = set(zip(i.tolist(), j.tolist()))
     assert len(decoded) == total, "duplicate pair emission"
 
     p = np.asarray(pos, np.float32)
@@ -237,6 +218,17 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
     hit = r2[iu] < np.float32(2.8) ** 2
     want = set(zip(iu[0][hit].tolist(), iu[1][hit].tolist()))
     assert decoded == want
+
+    # padded-row converter: same pair set, reference deliverable shape
+    n = p.shape[0]
+    idx, cnt = masks_to_padded(masks, state.pid, spec, n=n)
+    assert idx.shape[0] == n and (cnt <= idx.shape[1]).all()
+    rows = set()
+    for a in range(n):
+        assert (idx[a, cnt[a]:] == n).all(), "padding must be sentinel N"
+        for b in idx[a, : cnt[a]]:
+            rows.add((min(a, int(b)), max(a, int(b))))
+    assert rows == want
 
 
 def test_dense_simulator_nve_jnp():

@@ -27,7 +27,7 @@ ch = pallas_force.dense_counts_half(st.pos, v32, spec, 2.8, False)
 print(f"compile+run {time.time()-t0:.0f}s; words={pallas_force.mask_words(spec.cap)}",
       flush=True)
 assert bool(jnp.all(jnp.where(vm, counts == ch, True))), "counts != half counts"
-pop = jnp.sum(jax.lax.population_count(masks), axis=(0, 1))
+pop = pallas_force.mask_slot_counts(masks, spec.cap)
 assert bool(jnp.all(jnp.where(vm, pop == counts, True))), "popcount != counts"
 total = int(jnp.sum(jnp.where(vm, counts, 0)))
 print(f"parity OK at cap=40: {total} pairs, popcount==counts", flush=True)
