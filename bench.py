@@ -99,20 +99,28 @@ def bench_pallas(cfg, args):
     # ---- list build: K chained rebuild+count passes in one jit ----------
     reps = args.reps
 
+    # Each timed build starts from a state drifted by the Verlet-reuse
+    # displacement bound: ballistic drift pos += tau*vel with tau scaled so
+    # max displacement == skin/2 — exactly the state a production rebuild
+    # sees when the displacement criterion fires. (Round 2 perturbed by
+    # 1e-6, which the full sort is oblivious to but would let the
+    # incremental rebuild time a zero-mover workload.)
+    half_skin = jnp.float32(cfg.skin * 0.5)
+
     @jax.jit
     def chained_builds(state):
+        v2 = jnp.sum(state.vel * state.vel, axis=0)
+        tau = half_skin / jnp.sqrt(jnp.max(v2))
+
         def body(i, acc_state):
             acc, st = acc_state
-            # micro-perturb one coordinate so no two iterations are
-            # byte-identical (defeats any result memoization in the tunnel)
-            st = st._replace(
-                pos=st.pos + (i % 2).astype(jnp.float32) * 1e-6
-            )
-            # the engine's list-build entry point: rebuild + the one-pass
-            # half-list kernel emitting the FULL artifact (packed cluster
-            # bitmasks + half counts). The f32 accumulator folds in a mask
-            # word so neither output can be dead-code-eliminated; the
-            # exact full-count parity pass runs untimed below.
+            st = st._replace(pos=st.pos + tau * st.vel)
+            # the engine's list-build entry point: rebuild (incremental
+            # with in-graph full fallback) + the one-pass half-list kernel
+            # emitting the FULL artifact (packed cluster bitmasks + half
+            # counts). The f32 accumulator folds in a mask word so neither
+            # output can be dead-code-eliminated; the exact full-count
+            # parity pass runs untimed below.
             st2, counts, masks, total = sim._rebuild_and_lists(st)
             acc = acc + total.astype(jnp.float32)
             if masks is not None:
@@ -160,8 +168,10 @@ def bench_pallas(cfg, args):
     steps_per_s, windows = timed_windows(run_once, args.steps)
     return build_ms, steps_per_s, pairs, {
         "cap": spec.cap, "mc": spec.mc,
-        "timed": "rebuild + one-pass half-list kernel (packed cluster "
-                 "bitmasks + half counts)",
+        "timed": "skin/2 ballistic drift + rebuild (incremental, in-graph "
+                 "full-sort fallback) + one-pass half-list kernel (packed "
+                 "cluster bitmasks + half counts)",
+        "incremental": sim.incremental,
         **windows,
     }
 
@@ -173,21 +183,28 @@ def bench_xla(cfg, args):
     carry = sim.init(jax.random.PRNGKey(0))
     build = sim._rebuild_only
 
+    half_skin = jnp.float32(cfg.skin * 0.5)
+
     @jax.jit
     def chained(system):
-        def body(i, acc):
-            # perturb so iterations differ; fence the COMPLETE artifact —
-            # padded (N, K) idx rows AND counts — the same "consumable
-            # neighbor list" contract the dense path times (VERDICT r2
-            # item 7: round 2 fenced max_count only, letting XLA dead-code
-            # parts of the idx emission)
-            s = system._replace(
-                pos=system.pos + (i % 2).astype(jnp.float32) * 1e-6
-            )
+        v2 = jnp.sum(system.vel * system.vel, axis=-1)
+        tau = half_skin / jnp.sqrt(jnp.max(v2))
+
+        def body(i, carry):
+            acc, s = carry
+            # same skin/2 ballistic drift as the dense bench; fence the
+            # COMPLETE artifact — padded (N, K) idx rows AND counts — the
+            # same "consumable neighbor list" contract the dense path
+            # times (VERDICT r2 item 7: round 2 fenced max_count only,
+            # letting XLA dead-code parts of the idx emission)
+            s = s._replace(pos=s.pos + tau * s.vel)
             c = build(s)
-            return (acc + c.nbr.max_count
-                    + jnp.sum(c.nbr.idx[:, 0]) + c.nbr.idx[0, -1])
-        return jax.lax.fori_loop(0, args.reps, body, jnp.zeros((), jnp.int32))
+            acc = (acc + c.nbr.max_count
+                   + jnp.sum(c.nbr.idx[:, 0]) + c.nbr.idx[0, -1])
+            return acc, c.system
+        acc, _ = jax.lax.fori_loop(
+            0, args.reps, body, (jnp.zeros((), jnp.int32), system))
+        return acc
 
     fetch_scalar(chained(carry.system))
     t0 = time.perf_counter()

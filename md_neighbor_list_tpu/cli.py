@@ -72,8 +72,16 @@ def main(argv=None) -> int:
             make_slab_spec(Box.from_density(cfg.n, cfg.rho), cfg.rs,
                            cfg.mesh_devices)
         except ValueError as e:
+            # reachable ONLY when the box has fewer >=rs z-layers than
+            # devices (N < P^3 * rs^3 * rho) — a tiny-box regime where the
+            # XLA twin's gather-heavy sweep costs microseconds. Loud on
+            # stdout so no production run lands here silently (VERDICT r2
+            # item 9).
             logger.log("engine_fallback", wanted="dense_slab",
                        reason=str(e))
+            print(f"WARNING: dense_slab cannot tile this box "
+                  f"({e}); falling back to the correctness-only XLA slab "
+                  f"engine", flush=True)
             engine = "slab"
     logger.log("start", preset=args.preset, engine=engine, n=cfg.n,
                steps=cfg.steps, device=str(jax.devices()[0]))

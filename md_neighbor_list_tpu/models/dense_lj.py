@@ -35,6 +35,7 @@ from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
                                                   from_packed, grow_cap,
                                                   make_spec, rebuild_dense,
                                                   to_packed)
+from md_neighbor_list_tpu.ops.incremental import rebuild_dense_incremental
 
 
 class DenseCarry(NamedTuple):
@@ -54,13 +55,19 @@ class DenseSimulator:
     'interpret' (Pallas interpreter), or 'jnp' (dense_ref, CPU tests)."""
 
     def __init__(self, config: MDConfig, cap: int = 40,
-                 kernel_impl: str | None = None):
+                 kernel_impl: str | None = None,
+                 incremental: bool = True):
         self.config = config
         self.box = Box.from_density(config.n, config.rho)
         self.cap = cap
         self.kernel_impl = kernel_impl or _default_impl()
         if self.kernel_impl not in ("pallas", "interpret", "jnp"):
             raise ValueError(f"unknown kernel_impl {self.kernel_impl!r}")
+        # incremental rebuild (ops/incremental.py): sort only cell-changers,
+        # merge into the standing binning; falls back to the full sort in-
+        # graph when the mover stream overflows its narrow window. The jnp
+        # reference engine always uses the full path.
+        self.incremental = incremental and self.kernel_impl != "jnp"
         self._compile()
 
     # ---------------------------------------------------------------- build
@@ -88,11 +95,22 @@ class DenseSimulator:
                 state.pos, valid, spec, cfg.rc, interp, want_pe
             )
 
-        def do_rebuild(carry: DenseCarry) -> DenseCarry:
+        def rebuild_state(state: DenseState) -> DenseState:
             if impl == "jnp":
-                state = dense_ref.rebuild_reference(carry.state, spec)
-            else:
-                state, _ = rebuild_dense(carry.state, spec, interp)
+                return dense_ref.rebuild_reference(state, spec)
+            if not self.incremental:
+                return rebuild_dense(state, spec, interp)[0]
+            inc, inc_of = rebuild_dense_incremental(state, spec, interp)
+            # mover-window overflow -> the full sort path, in-graph
+            return lax.cond(
+                inc_of,
+                lambda s: rebuild_dense(s, spec, interp)[0],
+                lambda s: inc,
+                state,
+            )
+
+        def do_rebuild(carry: DenseCarry) -> DenseCarry:
+            state = rebuild_state(carry.state)
             kept = jnp.sum(state.valid().astype(jnp.int32))
             return carry._replace(
                 state=state,
@@ -172,7 +190,7 @@ class DenseSimulator:
                 masks = None
                 total = jnp.sum(jnp.where(new.valid(), counts, 0)) // 2
             else:
-                new, _ = rebuild_dense(state, spec, interp)
+                new = rebuild_state(state)
                 counts, masks = pallas_force.dense_lists_half(
                     new.pos, new.valid().astype(jnp.float32), spec, cfg.rs,
                     interp,

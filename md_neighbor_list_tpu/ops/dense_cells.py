@@ -140,7 +140,7 @@ def _expand_window(mc: int, cap: int, G: int) -> int:
 
 
 def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
-                   spec, key_base: int, G: int):
+                   spec, key_base: int, G: int, W: int | None = None):
     """Per G-row group of (z, y) rows: DMA the sorted-record window for the
     group's cells and redistribute each cell's run to its fixed cap-stride
     slots.
@@ -160,7 +160,8 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     every dropped particle (truncated or pushed out) fails the caller's
     slot-count conservation check and triggers cap growth (SURVEY.md §4.3)."""
     mc, cap = spec.mc, spec.cap
-    W = _expand_window(mc, cap, G)
+    if W is None:
+        W = _expand_window(mc, cap, G)
     gm = G * mc
     r = pl.program_id(0)
     nprogs = pl.num_programs(0)
@@ -281,7 +282,9 @@ def _row_starts(sorted_keys: jnp.ndarray, spec,
 
 def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
                 interpret: bool = False,
-                key_base: int = 0) -> tuple[DenseState, jnp.ndarray]:
+                key_base: int = 0,
+                group: int | None = None,
+                window: int | None = None) -> tuple[DenseState, jnp.ndarray]:
     """The rebuild core: one 8-payload sort by cell key + the expand
     kernel. ``keys`` (M,) i32; ``chans`` = (x, y, z, vx, vy, vz, pidf),
     each (M,) f32. Records keyed outside [key_base, key_base + rows*mc)
@@ -292,12 +295,20 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     Returns (DenseState over spec.rows rows, row_start). Slot-count
     conservation is the caller's overflow check — a cell run longer than
     cap is truncated by the expand kernel and detected as a lost particle
-    (SURVEY.md §4.3 overflow protocol)."""
+    (SURVEY.md §4.3 overflow protocol).
+
+    ``group``/``window`` override the G-rows-per-program / DMA-window
+    sizing. The default window assumes every cell can hold a full
+    cap-length run; the incremental rebuild (ops/incremental.py) passes a
+    much narrower window sized for its sparse mover stream (the caller
+    must then detect window-overflow via row_start spans — records past a
+    program's window are silently dropped, same protocol as cap
+    truncation)."""
     mc, cap = spec.mc, spec.cap
-    G = _expand_group(mc, cap)
+    G = _expand_group(mc, cap) if group is None else group
     nprog = (spec.rows + G - 1) // G
     rows_pad = nprog * G
-    W = _expand_window(mc, cap, G)
+    W = _expand_window(mc, cap, G) if window is None else window
     out = lax.sort((keys,) + tuple(chans), dimension=0, num_keys=1)
     k_s = out[0]
     # one concat builds the padded record matrix: W guard columns for the
@@ -335,7 +346,7 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     )
     posvel, pid4 = pl.pallas_call(
         functools.partial(_expand_kernel, spec=spec, key_base=key_base,
-                          G=G),
+                          G=G, W=W),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, rows_pad, mc, cap), jnp.float32),

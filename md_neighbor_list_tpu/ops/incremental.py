@@ -1,0 +1,298 @@
+"""Incremental dense rebuild — sort only the cell-changers (VERDICT r2
+item 2; SURVEY.md §9 "Sort cost").
+
+Between Verlet rebuilds particles move at most skin/2, so at rebuild time
+only a few percent of particles ("movers") have left their cell; the full
+path still pays the whole 8-payload sort + full-width expand for them.
+The incremental path:
+
+  1. keys on wrapped positions; stayers = valid slots whose new key equals
+     the cell they already sit in. Movers keep their key, everything else
+     (stayers, empty slots) gets a sentinel key.
+  2. ONE 8-payload sort of the same S records — but now all the structure
+     is in the short mover prefix; the expand that follows only needs a
+     NARROW window (the mover stream is ~5-15% dense), so the expand cost
+     collapses. (The sort itself is size-bound, not order-bound — the
+     remaining cost to attack; see the narrow-sort note below.)
+  3. movers_dense = the existing expand kernel over the mover stream with
+     ``window=MOVER_WINDOW`` (ops/dense_cells.sort_expand overrides).
+  4. a merge kernel stitches the new state per cell row, entirely with
+     lane-local log-shift rolls (no gathers, no scatters):
+       - compact each cell's stayers to a prefix (monotone per-lane
+         left-shift by rank: LSB-first conditional power-of-2 rolls — the
+         order-preservation proof is in _compact_left's docstring),
+       - append that cell's movers behind them (uniform per-cell right
+         shift by the stayer count).
+
+  Overflow protocol (two NEW failure modes, both detected, never silent):
+    window overflow  a G-row group's mover span exceeds the narrow DMA
+                     window -> records dropped by the expand -> the merged
+                     state loses particles -> ``inc_overflow`` is True and
+                     the caller falls back to the FULL rebuild (the right
+                     response — cap is fine, the mover burst was not).
+                     Detected directly from row_start spans.
+    cell overflow    stayers + movers of one cell exceed cap -> dropped
+                     movers are masked out pre-shift -> lost-particle
+                     conservation check -> cap growth, exactly as the full
+                     path (SURVEY.md §4.3).
+
+  Equivalence contract vs the full rebuild: the SAME partition of
+  particles into cells (set equality per cell — tested), NOT the same
+  within-cell slot order (full sort interleaves by pre-sort position;
+  incremental keeps stayers first, movers appended). All sweep kernels
+  are order-independent in pair membership; force summation order within
+  a cell differs by fp32 rounding only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
+                                                  _flat, cell_keys,
+                                                  sort_expand)
+
+MOVER_G = 8          # cell rows per merge/expand program
+MOVER_WINDOW = 1280  # mover-stream DMA window per G-row group (lanes)
+# window slack: the expand kernel rounds each group's start down to a 128
+# boundary, so a group's usable span is MOVER_WINDOW - 128 records
+
+
+def own_cell_keys(spec: DenseSpec) -> jnp.ndarray:
+    """(R, mc, cap) i32: the cell key each slot belongs to by position."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (spec.rows, spec.mc, spec.cap), 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, (spec.rows, spec.mc, spec.cap), 1)
+    return r * spec.mc + x
+
+
+def _roll(a, shift, P):
+    return pltpu.roll(a, shift % P, axis=1)
+
+
+def _seg_iota(G, P, cap):
+    return jax.lax.broadcasted_iota(jnp.int32, (G, P), 1) % cap
+
+
+def _compact_left(chs, shift_f, seg, cap, P):
+    """Per-lane monotone left-compaction of ``chs`` by ``shift_f`` (f32
+    integer shifts, one per lane), segment-local (segments = consecutive
+    ``cap`` lanes). LSB-first conditional power-of-2 rolls: after the bits
+    < 2^k are applied, lane positions are l - (shift mod 2^k), which stays
+    strictly increasing across lanes carrying live elements (shift is
+    nondecreasing with jumps bounded by the gap between lanes, and a mod
+    wrap only moves the later element further right) — so no level ever
+    lands two live elements on one lane, and no element crosses its
+    segment's left edge (partial position >= final position >= segment
+    start). Lanes not covered by an arriving element keep stale values;
+    the caller selects by rank afterwards."""
+    b = 1
+    vals = list(chs) + [shift_f]
+    while b < cap:
+        rolled = [_roll(v, -b, P) for v in vals]
+        sh = rolled[-1]
+        # arrival guard: element exists in the same segment (origin lane
+        # l + b did not cross the segment edge) and has bit b pending
+        cond = (jnp.mod(jnp.floor(sh / b), 2.0) >= 1.0) & (seg < cap - b)
+        vals = [jnp.where(cond, r, v) for r, v in zip(rolled, vals)]
+        vals[-1] = jnp.where(cond, sh - b, vals[-1])
+        b <<= 1
+    return vals[:-1]
+
+
+def _shift_right_uniform(chs, shift_f, seg, cap, P):
+    """Per-segment uniform right shift (mover insertion behind the stayer
+    prefix). Same LSB-first structure; elements never cross their
+    segment's right edge because callers pre-mask movers whose destination
+    would exceed cap."""
+    b = 1
+    vals = list(chs) + [shift_f]
+    while b < cap:
+        rolled = [_roll(v, b, P) for v in vals]
+        sh = rolled[-1]
+        cond = (jnp.mod(jnp.floor(sh / b), 2.0) >= 1.0) & (seg >= b)
+        vals = [jnp.where(cond, r, v) for r, v in zip(rolled, vals)]
+        vals[-1] = jnp.where(cond, sh - b, vals[-1])
+        b <<= 1
+    return vals[:-1]
+
+
+def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
+                  *, cap: int, P: int, G: int):
+    """Stitch one G-row group: compact stayers to per-cell prefixes, append
+    the cell's movers behind them. All arrays are (G, P = mc*cap) lanes;
+    channels 0-5 = x,y,z,vx,vy,vz; 6 = pid (f32, exact < 2^24)."""
+    seg = _seg_iota(G, P, cap)
+    stay = stay_ref[0]  # (G, P) f32 0/1
+
+    # segmented inclusive prefix of stay -> rank/len
+    s = stay
+    b = 1
+    while b < cap:
+        s = s + jnp.where(seg >= b, _roll(s, b, P), 0.0)
+        b <<= 1
+    rank_excl = s - stay          # stayer rank within its cell
+    # broadcast each segment's total (value at lane cap-1) to all lanes
+    t = jnp.where(seg == cap - 1, s, 0.0)
+    b = 1
+    while b < cap:
+        t = jnp.maximum(t, jnp.where(seg < cap - b, _roll(t, -b, P), 0.0))
+        b <<= 1
+    length = t                    # stayers per cell, broadcast
+
+    # --- stayer compaction (left by lane_in_seg - rank) ---------------
+    shift = jnp.where(stay > 0.5, seg.astype(jnp.float32) - rank_excl, 0.0)
+    chs = [stat_ref[c] for c in range(7)]
+    comp = _compact_left(chs, shift, seg, cap, P)
+
+    # --- mover insertion (right by the stayer count) ------------------
+    segf = seg.astype(jnp.float32)
+    mpid = movpid_ref[0]
+    # drop movers whose destination lane would leave the cell (cell full):
+    # lost-particle conservation at the caller grows cap
+    mvalid = (mpid >= 0) & (segf + length < cap)
+    movs = [jnp.where(mvalid, mov_ref[c], 0.0) for c in range(6)] + [
+        jnp.where(mvalid, mov_ref[6], -1.0)
+    ]
+    ins = _shift_right_uniform(movs, jnp.where(mvalid, length, 0.0),
+                               seg, cap, P)
+
+    keep_stay = segf < length
+    keep_mov = ins[6] >= 0.0
+    for c in range(6):
+        v = jnp.where(keep_stay, comp[c], jnp.where(keep_mov, ins[c], 0.0))
+        out_f32[c] = v
+    out_pid[0] = jnp.where(
+        keep_stay, comp[6], jnp.where(keep_mov, ins[6], -1.0)
+    ).astype(jnp.int32)
+
+
+def _merge(state_w: DenseState, stay_f32, movers: DenseState,
+           spec: DenseSpec, interpret: bool) -> DenseState:
+    mc, cap, R = spec.mc, spec.cap, spec.rows
+    P = mc * cap
+    G = MOVER_G
+    nprog = (R + G - 1) // G
+    rows_pad = nprog * G
+
+    def flat_rows(a):  # (R, mc, cap) -> (rows_pad, P)
+        a2 = a.reshape(R, P)
+        if rows_pad != R:
+            a2 = jnp.pad(a2, ((0, rows_pad - R), (0, 0)))
+        return a2
+
+    stat = jnp.stack(
+        [flat_rows(state_w.pos[i]) for i in range(3)]
+        + [flat_rows(state_w.vel[i]) for i in range(3)]
+        + [flat_rows(state_w.pid.astype(jnp.float32))]
+    )  # (7, rows_pad, P)
+    mov = jnp.stack(
+        [flat_rows(movers.pos[i]) for i in range(3)]
+        + [flat_rows(movers.vel[i]) for i in range(3)]
+        + [flat_rows(movers.pid.astype(jnp.float32))]
+    )
+    stay2 = flat_rows(stay_f32)[None]
+    mpid2 = flat_rows(movers.pid)[None]
+
+    bs = lambda nch: pl.BlockSpec((nch, G, P), lambda r: (0, r, 0),
+                                  memory_space=pltpu.VMEM)
+    posvel, pid = pl.pallas_call(
+        functools.partial(_merge_kernel, cap=cap, P=P, G=G),
+        grid=(nprog,),
+        in_specs=[bs(7), bs(1), bs(7), bs(1)],
+        out_specs=[bs(7), bs(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((7, rows_pad, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows_pad, P), jnp.int32),
+        ],
+        interpret=interpret,
+    )(stat, stay2, mov, mpid2.astype(jnp.int32))
+    shape = (R, mc, cap)
+    pos = jnp.stack([posvel[i, :R].reshape(shape) for i in range(3)])
+    vel = jnp.stack([posvel[i, :R].reshape(shape) for i in range(3, 6)])
+    return DenseState(pos=pos, vel=vel, pid=pid[0, :R].reshape(shape))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def rebuild_dense_incremental(
+    state: DenseState, spec: DenseSpec, interpret: bool = False,
+) -> tuple[DenseState, jnp.ndarray]:
+    """Incremental rebuild. Returns (new_state, inc_overflow): when
+    ``inc_overflow`` is True the mover stream overflowed its narrow expand
+    window and ``new_state`` is INCOMPLETE — the caller must run the full
+    ``rebuild_dense`` instead (``lax.cond`` in the engines). Cap overflow
+    is, as everywhere, the caller's slot-count conservation check."""
+    state = state._replace(pos=jnp.mod(state.pos, jnp.float32(spec.L)))
+    keys = cell_keys(state, spec)
+    own = own_cell_keys(spec)
+    valid = state.valid()
+    stay = valid & (keys == own)
+    mover_keys = jnp.where(valid & ~stay, keys, jnp.int32(spec.ncells))
+
+    chans = tuple(_flat(state.pos[i]) for i in range(3)) + tuple(
+        _flat(state.vel[i]) for i in range(3)
+    ) + (_flat(state.pid).astype(jnp.float32),)
+    movers, row_start = sort_expand(
+        _flat(mover_keys), chans, spec, interpret,
+        group=MOVER_G, window=MOVER_WINDOW,
+    )
+    # window overflow: a G-row group's span (from its 128-aligned DMA
+    # start) exceeding the window means the expand dropped records
+    g_start = row_start[:-1:MOVER_G]
+    g_end = row_start[MOVER_G::MOVER_G]
+    if g_end.shape[0] < g_start.shape[0]:  # tail group
+        g_end = jnp.concatenate([g_end, row_start[-1:]])
+    span = jnp.max(g_end - (g_start // 128) * 128)
+    inc_overflow = span > jnp.int32(MOVER_WINDOW)
+
+    merged = _merge(state, stay.astype(jnp.float32), movers, spec, interpret)
+    return merged, inc_overflow
+
+
+def rebuild_reference_incremental(state: DenseState,
+                                  spec: DenseSpec) -> DenseState:
+    """Order-exact jnp twin of the incremental result (stayers in slot
+    order, then movers in mover-stream order) — the merge kernel's
+    correctness oracle in tests."""
+    import numpy as np
+
+    pos = np.mod(np.asarray(state.pos), np.float32(spec.L))
+    vel = np.asarray(state.vel)
+    pid = np.asarray(state.pid)
+    inv = np.float32(1.0 / spec.cell_size)
+    mc, cap = spec.mc, spec.cap
+    coords = np.clip((pos * inv).astype(np.int64), 0, mc - 1)
+    key = (coords[0] + mc * (coords[1] + mc * coords[2])).reshape(-1)
+    own = np.asarray(own_cell_keys(spec)).reshape(-1)
+    valid = pid.reshape(-1) >= 0
+    stay = valid & (key == own)
+    movers = valid & ~stay
+
+    S = key.shape[0]
+    flat = lambda a: a.reshape(3, S)
+    posf, velf, pidf = flat(pos), flat(vel), pid.reshape(-1)
+    out_pos = np.zeros((3, S), np.float32)
+    out_vel = np.zeros((3, S), np.float32)
+    out_pid = np.full((S,), -1, np.int32)
+    order = np.argsort(key[movers], kind="stable")
+    mov_idx = np.nonzero(movers)[0][order]
+    mov_key = key[mov_idx]
+    for c in range(spec.ncells):
+        slots = np.arange(c * cap, (c + 1) * cap)
+        srcs = list(slots[stay[slots]]) + list(mov_idx[mov_key == c])
+        srcs = srcs[:cap]  # cell overflow drops movers, as the kernel does
+        dst = slots[: len(srcs)]
+        out_pos[:, dst] = posf[:, srcs]
+        out_vel[:, dst] = velf[:, srcs]
+        out_pid[dst] = pidf[srcs]
+    shape = (spec.rows, mc, cap)
+    return DenseState(
+        pos=jnp.asarray(out_pos.reshape((3,) + shape)),
+        vel=jnp.asarray(out_vel.reshape((3,) + shape)),
+        pid=jnp.asarray(out_pid.reshape(shape)),
+    )

@@ -1,0 +1,78 @@
+"""Where does the N=1M warm-up time go? (VERDICT r2 item 3: init + first
+build + compile regressed 31 s -> 221 s across round 2.)
+
+Splits, for each jitted program of the dense engine, the three phases the
+"init + compile" timer lumps together:
+
+  trace+lower   Python tracing -> StableHLO (host CPU, never cached)
+  compile       XLA + Mosaic kernel compilation (persistent-cache-able)
+  execute       first real dispatch (tunnel + device)
+
+Run twice: the second run's compile column shows whether
+/root/.jax_cache actually hits across processes (it should — misses here
+mean the cache key moved, e.g. the kernel source changed).
+"""
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--cap", type=int, default=32)
+    args = ap.parse_args()
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    t0 = time.time()
+    from md_neighbor_list_tpu.core.config import MDConfig
+    from md_neighbor_list_tpu.core.system import init_lattice
+    from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+    from md_neighbor_list_tpu.ops.dense_cells import from_packed
+    print(f"imports: {time.time()-t0:.1f}s", flush=True)
+
+    cfg = MDConfig(n=args.n, dt=0.001, temperature=1.0)
+    t0 = time.time()
+    sim = DenseSimulator(cfg, cap=args.cap,
+                         kernel_impl="pallas"
+                         if jax.default_backend() != "cpu" else "jnp")
+    print(f"Simulator construct (closure build, no trace): "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+    system, _ = init_lattice(cfg.n, cfg.rho, jax.random.PRNGKey(0),
+                             cfg.temperature)
+    state = from_packed(system.pos, system.vel, system.pid, sim.spec)
+
+    def phase(name, jitted, *a, **kw):
+        t0 = time.time()
+        lowered = jitted.lower(*a, **kw)
+        t1 = time.time()
+        compiled = lowered.compile()
+        t2 = time.time()
+        out = compiled(*a, **kw)
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        float(np.asarray(leaf.reshape(-1)[0]
+                         if hasattr(leaf, "reshape") else leaf))
+        t3 = time.time()
+        print(f"{name:28s} lower {t1-t0:6.1f}s  compile {t2-t1:6.1f}s  "
+              f"first-exec {t3-t2:6.1f}s", flush=True)
+        return out
+
+    carry = phase("initial_build", sim._initial_build, state)
+    phase("run_chunk(50)", sim._run_chunk, carry, 50)
+    phase("rebuild_and_lists", sim._rebuild_and_lists, carry.state)
+    phase("energies (want_pe variant)", sim._energies, carry)
+    print("PROBE OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
