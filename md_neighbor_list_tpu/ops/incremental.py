@@ -75,10 +75,6 @@ def _roll(a, shift, P):
     return pltpu.roll(a, shift % P, axis=1)
 
 
-def _seg_iota(G, P, cap):
-    return jax.lax.broadcasted_iota(jnp.int32, (G, P), 1) % cap
-
-
 def _compact_left(chs, shift_f, seg, cap, P):
     """Per-lane monotone left-compaction of ``chs`` by ``shift_f`` (f32
     integer shifts, one per lane), segment-local (segments = consecutive
@@ -125,30 +121,34 @@ def _shift_right_uniform(chs, shift_f, seg, cap, P):
 def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
                   *, cap: int, P: int, G: int):
     """Stitch one G-row group: compact stayers to per-cell prefixes, append
-    the cell's movers behind them. All arrays are (G, P = mc*cap) lanes;
-    channels 0-5 = x,y,z,vx,vy,vz; 6 = pid (f32, exact < 2^24)."""
-    seg = _seg_iota(G, P, cap)
-    stay = stay_ref[0]  # (G, P) f32 0/1
+    the cell's movers behind them. All arrays are (G*mc sublanes, cap
+    lanes) — one CELL per sublane row, so every segment op is an in-tile
+    lane op (rolls never need a cross-tile relayout) and the circular
+    wrap of ``pltpu.roll`` IS the segment boundary. Channels 0-5 =
+    x,y,z,vx,vy,vz; 6 = pid (f32, exact < 2^24)."""
+    Q = G * P  # sublane rows (cells) per program; P here = mc
+    seg = jax.lax.broadcasted_iota(jnp.int32, (Q, cap), 1)
+    stay = stay_ref[0]  # (Q, cap) f32 0/1
 
-    # segmented inclusive prefix of stay -> rank/len
+    # per-cell inclusive prefix of stay -> rank/len (lane scan)
     s = stay
     b = 1
     while b < cap:
-        s = s + jnp.where(seg >= b, _roll(s, b, P), 0.0)
+        s = s + jnp.where(seg >= b, _roll(s, b, cap), 0.0)
         b <<= 1
     rank_excl = s - stay          # stayer rank within its cell
-    # broadcast each segment's total (value at lane cap-1) to all lanes
+    # broadcast each cell's total (value at lane cap-1) to all lanes
     t = jnp.where(seg == cap - 1, s, 0.0)
     b = 1
     while b < cap:
-        t = jnp.maximum(t, jnp.where(seg < cap - b, _roll(t, -b, P), 0.0))
+        t = jnp.maximum(t, jnp.where(seg < cap - b, _roll(t, -b, cap), 0.0))
         b <<= 1
     length = t                    # stayers per cell, broadcast
 
-    # --- stayer compaction (left by lane_in_seg - rank) ---------------
+    # --- stayer compaction (left by lane - rank) ----------------------
     shift = jnp.where(stay > 0.5, seg.astype(jnp.float32) - rank_excl, 0.0)
     chs = [stat_ref[c] for c in range(7)]
-    comp = _compact_left(chs, shift, seg, cap, P)
+    comp = _compact_left(chs, shift, seg, cap, cap)
 
     # --- mover insertion (right by the stayer count) ------------------
     segf = seg.astype(jnp.float32)
@@ -160,7 +160,7 @@ def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
         jnp.where(mvalid, mov_ref[6], -1.0)
     ]
     ins = _shift_right_uniform(movs, jnp.where(mvalid, length, 0.0),
-                               seg, cap, P)
+                               seg, cap, cap)
 
     keep_stay = segf < length
     keep_mov = ins[6] >= 0.0
@@ -175,47 +175,47 @@ def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
 def _merge(state_w: DenseState, stay_f32, movers: DenseState,
            spec: DenseSpec, interpret: bool) -> DenseState:
     mc, cap, R = spec.mc, spec.cap, spec.rows
-    P = mc * cap
     G = MOVER_G
     nprog = (R + G - 1) // G
-    rows_pad = nprog * G
+    cells_pad = nprog * G * mc
 
-    def flat_rows(a):  # (R, mc, cap) -> (rows_pad, P)
-        a2 = a.reshape(R, P)
-        if rows_pad != R:
-            a2 = jnp.pad(a2, ((0, rows_pad - R), (0, 0)))
+    def flat_cells(a):  # (R, mc, cap) -> (cells_pad, cap), one cell/row
+        a2 = a.reshape(R * mc, cap)
+        if cells_pad != R * mc:
+            a2 = jnp.pad(a2, ((0, cells_pad - R * mc), (0, 0)))
         return a2
 
     stat = jnp.stack(
-        [flat_rows(state_w.pos[i]) for i in range(3)]
-        + [flat_rows(state_w.vel[i]) for i in range(3)]
-        + [flat_rows(state_w.pid.astype(jnp.float32))]
-    )  # (7, rows_pad, P)
+        [flat_cells(state_w.pos[i]) for i in range(3)]
+        + [flat_cells(state_w.vel[i]) for i in range(3)]
+        + [flat_cells(state_w.pid.astype(jnp.float32))]
+    )  # (7, cells_pad, cap)
     mov = jnp.stack(
-        [flat_rows(movers.pos[i]) for i in range(3)]
-        + [flat_rows(movers.vel[i]) for i in range(3)]
-        + [flat_rows(movers.pid.astype(jnp.float32))]
+        [flat_cells(movers.pos[i]) for i in range(3)]
+        + [flat_cells(movers.vel[i]) for i in range(3)]
+        + [flat_cells(movers.pid.astype(jnp.float32))]
     )
-    stay2 = flat_rows(stay_f32)[None]
-    mpid2 = flat_rows(movers.pid)[None]
+    stay2 = flat_cells(stay_f32)[None]
+    mpid2 = flat_cells(movers.pid)[None]
 
-    bs = lambda nch: pl.BlockSpec((nch, G, P), lambda r: (0, r, 0),
+    bs = lambda nch: pl.BlockSpec((nch, G * mc, cap), lambda r: (0, r, 0),
                                   memory_space=pltpu.VMEM)
     posvel, pid = pl.pallas_call(
-        functools.partial(_merge_kernel, cap=cap, P=P, G=G),
+        functools.partial(_merge_kernel, cap=cap, P=mc, G=G),
         grid=(nprog,),
         in_specs=[bs(7), bs(1), bs(7), bs(1)],
         out_specs=[bs(7), bs(1)],
         out_shape=[
-            jax.ShapeDtypeStruct((7, rows_pad, P), jnp.float32),
-            jax.ShapeDtypeStruct((1, rows_pad, P), jnp.int32),
+            jax.ShapeDtypeStruct((7, cells_pad, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, cells_pad, cap), jnp.int32),
         ],
         interpret=interpret,
     )(stat, stay2, mov, mpid2.astype(jnp.int32))
     shape = (R, mc, cap)
-    pos = jnp.stack([posvel[i, :R].reshape(shape) for i in range(3)])
-    vel = jnp.stack([posvel[i, :R].reshape(shape) for i in range(3, 6)])
-    return DenseState(pos=pos, vel=vel, pid=pid[0, :R].reshape(shape))
+    nc = R * mc
+    pos = jnp.stack([posvel[i, :nc].reshape(shape) for i in range(3)])
+    vel = jnp.stack([posvel[i, :nc].reshape(shape) for i in range(3, 6)])
+    return DenseState(pos=pos, vel=vel, pid=pid[0, :nc].reshape(shape))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -11,6 +11,7 @@ from md_neighbor_list_tpu.core.system import init_lattice
 from md_neighbor_list_tpu.ops import pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import (from_packed, make_spec,
                                                   rebuild_dense)
+from md_neighbor_list_tpu.ops.incremental import rebuild_dense_incremental
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=1_000_000)
@@ -48,6 +49,19 @@ def f_rebuild(s):
     new, _ = rebuild_dense(s, spec, False)
     return jnp.sum(new.pos[0, 0, 0])
 
+# incremental rebuild is timed on a state drifted by the skin/2 ballistic
+# bound — the mover load a production rebuild actually sees (the 1e-6
+# perturbation used for the other rows is a zero-mover workload for it)
+_v2 = jnp.sum(st.vel * st.vel, axis=0)
+_tau = jnp.float32(0.15) / jnp.sqrt(jnp.max(_v2))
+
+def f_rebuild_inc(s):
+    drifted = s._replace(pos=s.pos + _tau * s.vel)
+    new, inc_of = rebuild_dense_incremental(drifted, spec, False)
+    kept = jnp.sum((new.pid >= 0).astype(jnp.int32))
+    return (jnp.sum(new.pos[0, 0, 0]) + kept.astype(jnp.float32)
+            + inc_of.astype(jnp.float32) * 1e9)
+
 def f_lists(s):
     c, m = pallas_force.dense_lists_half(s.pos, v32, spec, 2.8, False)
     return jnp.sum(c).astype(jnp.float32) + m[0, 0, 0, 0, 0] * 0.0
@@ -68,7 +82,19 @@ def f_build(s):
         new.pos, new.valid().astype(jnp.float32), spec, 2.8, False)
     return jnp.sum(c).astype(jnp.float32) + m[0, 0, 0, 0, 0] * 0.0
 
+# one-off mover-load diagnostic at the drifted state
+from md_neighbor_list_tpu.ops.dense_cells import cell_keys
+from md_neighbor_list_tpu.ops.incremental import own_cell_keys
+_drift = st._replace(pos=jnp.mod(st.pos + _tau * st.vel,
+                                 jnp.float32(spec.L)))
+_k = cell_keys(_drift, spec)
+_movers = int(np.asarray(jnp.sum(
+    (st.valid() & (_k != own_cell_keys(spec))).astype(jnp.int32))))
+print(f"movers at skin/2 drift: {_movers} "
+      f"({100.0 * _movers / args.n:.1f}% of N)", flush=True)
+
 timed("rebuild (sort+expand)", f_rebuild)
+timed("rebuild INCREMENTAL (drifted)", f_rebuild_inc)
 timed("half lists (masks+counts)", f_lists)
 timed("half counts only", f_counts)
 timed("half+N3 force pass", f_force)

@@ -52,13 +52,14 @@ def main():
                              cfg.temperature)
     state = from_packed(system.pos, system.vel, system.pid, sim.spec)
 
-    def phase(name, jitted, *a, **kw):
+    def phase(name, jitted, *a, n_static: int = 0):
         t0 = time.time()
-        lowered = jitted.lower(*a, **kw)
+        lowered = jitted.lower(*a)
         t1 = time.time()
         compiled = lowered.compile()
         t2 = time.time()
-        out = compiled(*a, **kw)
+        # AOT-compiled fns take only the non-static args (statics baked in)
+        out = compiled(*a[: len(a) - n_static or None])
         leaf = jax.tree_util.tree_leaves(out)[-1]
         float(np.asarray(leaf.reshape(-1)[0]
                          if hasattr(leaf, "reshape") else leaf))
@@ -68,7 +69,7 @@ def main():
         return out
 
     carry = phase("initial_build", sim._initial_build, state)
-    phase("run_chunk(50)", sim._run_chunk, carry, 50)
+    phase("run_chunk(50)", sim._run_chunk, carry, 50, n_static=1)
     phase("rebuild_and_lists", sim._rebuild_and_lists, carry.state)
     phase("energies (want_pe variant)", sim._energies, carry)
     print("PROBE OK", flush=True)

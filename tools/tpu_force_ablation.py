@@ -71,6 +71,7 @@ def timed(name, fn):
 
 
 def variant_kernel(*refs, mode: str, nsteps_nr: int = 2):
+    """nsteps_nr: -1 = exact divide, 0/1/2 = approx reciprocal + NR."""
     """Stripped merged half-sweep: mode selects what survives.
       geom      r2p + cutoff count only (== counts kernel)
       lj        + LJ magnitude, own-only sum of f (no components)
@@ -90,9 +91,12 @@ def variant_kernel(*refs, mode: str, nsteps_nr: int = 2):
         if mode == "geom":
             term = [jnp.where(hit, 1.0, 0.0)]
         else:
-            s2 = pl.reciprocal(r2p, approx=True)
-            for _ in range(nsteps_nr):
-                s2 = s2 * (2.0 - r2p * s2)
+            if nsteps_nr < 0:
+                s2 = 1.0 / r2p
+            else:
+                s2 = pl.reciprocal(r2p, approx=True)
+                for _ in range(nsteps_nr):
+                    s2 = s2 * (2.0 - r2p * s2)
             s6 = s2 * s2 * s2
             f = jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
             if mode == "lj":
@@ -144,12 +148,47 @@ def run_variant(mode: str, nch: int, do_rolls: bool = False,
 
 timed("windows build only", lambda p: jnp.sum(
     make_windows(p, v32, spec)[0, 0, 0]))
+
+
+def windows_cl(pos4, parked: bool):
+    """Channel-leading window build (no transpose); parked=True assumes
+    positions already carry parked values for invalid slots (maintainable
+    at rebuild time: invalid slots have vel=0, so parked positions persist
+    through integration)."""
+    mc, cap, L = spec.mc, spec.cap, spec.L
+    if parked:
+        w3 = pos4
+    else:
+        slot_id = jnp.arange(spec.slots, dtype=jnp.float32).reshape(
+            spec.rows, mc, cap)
+        park = 1.0e5 + slot_id * jnp.float32(2.0 * spec.cell_size)
+        w3 = jnp.where(v32[None] > 0.5, pos4, park[None])
+    left = jnp.roll(w3, 1, axis=2)
+    right = jnp.roll(w3, -1, axis=2)
+    xcell = jnp.arange(mc)
+    sh_m = jnp.where(xcell == 0, -L, 0.0).astype(jnp.float32)[None, :, None]
+    sh_p = jnp.where(xcell == mc - 1, L, 0.0).astype(
+        jnp.float32)[None, :, None]
+    left = left.at[0].add(sh_m)
+    right = right.at[0].add(sh_p)
+    return jnp.concatenate([left, w3, right], axis=-1)  # (3, R, mc, 3cap)
+
+
+timed("windows channel-leading (no transpose)",
+      lambda p: jnp.sum(windows_cl(p, False)[0, 0, 0]))
+timed("windows channel-leading + pre-parked",
+      lambda p: jnp.sum(windows_cl(p, True)[0, 0, 0]))
 timed("geom+cutoff (sweep floor)", run_variant("geom", 1))
 timed("+ LJ magnitude (own scalar sum)", run_variant("lj", 1))
 timed("+ 3 components, own sums (no rxn)", run_variant("ljcomp", 3))
 timed("  (same, 1 Newton step)", run_variant("ljcomp", 3, nsteps_nr=1))
+timed("  (same, exact divide)", run_variant("ljcomp", 3, nsteps_nr=-1))
 timed("+ N3 reaction channels (kernel only)", run_variant("rxn", 15))
 timed("+ roll re-homing (== production)", run_variant("rxn", 15, True))
+timed("  production shape, 1 Newton step",
+      run_variant("rxn", 15, True, nsteps_nr=1))
+timed("  production shape, exact divide",
+      run_variant("rxn", 15, True, nsteps_nr=-1))
 
 
 def f_prod(pos4):

@@ -1,0 +1,62 @@
+"""One-process TPU measurement session.
+
+The axon tunnel pays a multi-minute grant stall whenever a fresh process
+touches the device shortly after another exits — so chaining standalone
+tools serially multiplies stalls. This driver runs the requested tools'
+main() functions IN ONE PROCESS (one grant), in order:
+
+    python tools/tpu_session.py compile_probe breakdown ablation \
+        micro bench100k bench1m split8m validate8m
+
+Each stage is isolated with try/except so one failure doesn't waste the
+session; argv is patched per stage.
+"""
+import pathlib
+import runpy
+import sys
+import time
+import traceback
+
+ROOT = str(pathlib.Path(__file__).resolve().parent.parent)
+sys.path.insert(0, ROOT)
+
+STAGES = {
+    "compile_probe": ("tools/tpu_compile_probe.py", ["--n", "1000000"]),
+    "compile_probe2": ("tools/tpu_compile_probe.py", ["--n", "1000000"]),
+    "breakdown": ("tools/tpu_build_breakdown.py",
+                  ["--n", "1000000", "--cap", "32", "--reps", "10"]),
+    "ablation": ("tools/tpu_force_ablation.py",
+                 ["--n", "1000000", "--reps", "10"]),
+    "micro": ("tools/tpu_micro_costs.py", []),
+    "bench100k": ("bench.py", ["--n", "100000", "--steps", "200"]),
+    "bench1m": ("bench.py", []),
+    "bench8m": ("bench.py", ["--n", "8000000", "--steps", "60"]),
+    "split8m": ("tools/tpu_split_probe.py", []),
+    "validate1m": ("tools/validate_tpu.py",
+                   ["--n", "1000000", "--steps", "1000"]),
+    "validate8m": ("tools/validate_tpu.py",
+                   ["--n", "8000000", "--steps", "500"]),
+    "slabcost": ("tools/tpu_slab_cost.py", []),
+}
+
+
+def main():
+    for name in sys.argv[1:]:
+        script, argv = STAGES[name]
+        print(f"\n===== STAGE {name} ({script} {' '.join(argv)}) "
+              f"{time.strftime('%H:%M:%S')} =====", flush=True)
+        sys.argv = [script] + argv
+        t0 = time.time()
+        try:
+            runpy.run_path(f"{ROOT}/{script}", run_name="__main__")
+        except SystemExit as e:
+            print(f"stage {name}: exit {e.code}", flush=True)
+        except Exception:
+            traceback.print_exc()
+            print(f"stage {name}: FAILED", flush=True)
+        print(f"===== STAGE {name} done in {time.time()-t0:.0f}s =====",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
