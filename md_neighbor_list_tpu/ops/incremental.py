@@ -58,10 +58,16 @@ from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
                                                   _flat, cell_keys,
                                                   sort_expand)
 
-MOVER_G = 8          # cell rows per merge/expand program
-MOVER_WINDOW = 1280  # mover-stream DMA window per G-row group (lanes)
+MOVER_G = 2          # cell rows per mover-expand program
+MOVER_WINDOW = 512   # mover-stream DMA window per G-row group (lanes)
 # window slack: the expand kernel rounds each group's start down to a 128
-# boundary, so a group's usable span is MOVER_WINDOW - 128 records
+# boundary, so a group's usable span is MOVER_WINDOW - 128 records.
+# Sizing: expand compute scales as (G*mc) x W x roll-levels — measured
+# G=8/W=1280 cost as much as the FULL expand (the 4x broadcast rows ate
+# the window savings); G=2/W=512 holds ~2.4x the expected per-group mover
+# load (2 rows x ~130 movers at the skin/2 drift bound) at ~1/6 the
+# compute. Overflow -> in-graph full-rebuild fallback, so an undersized
+# window costs a fallback, never correctness.
 
 
 def own_cell_keys(spec: DenseSpec) -> jnp.ndarray:
@@ -72,7 +78,7 @@ def own_cell_keys(spec: DenseSpec) -> jnp.ndarray:
 
 
 def _roll(a, shift, P):
-    return pltpu.roll(a, shift % P, axis=1)
+    return pltpu.roll(a, shift % P, axis=a.ndim - 1)
 
 
 def _compact_left(chs, shift_f, seg, cap, P):
@@ -118,17 +124,21 @@ def _shift_right_uniform(chs, shift_f, seg, cap, P):
     return vals[:-1]
 
 
-def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
-                  *, cap: int, P: int, G: int):
-    """Stitch one G-row group: compact stayers to per-cell prefixes, append
-    the cell's movers behind them. All arrays are (G*mc sublanes, cap
-    lanes) — one CELL per sublane row, so every segment op is an in-tile
-    lane op (rolls never need a cross-tile relayout) and the circular
-    wrap of ``pltpu.roll`` IS the segment boundary. Channels 0-5 =
-    x,y,z,vx,vy,vz; 6 = pid (f32, exact < 2^24)."""
-    Q = G * P  # sublane rows (cells) per program; P here = mc
-    seg = jax.lax.broadcasted_iota(jnp.int32, (Q, cap), 1)
-    stay = stay_ref[0]  # (Q, cap) f32 0/1
+def _merge_kernel(spid_ref, mpid_ref, *refs, cap: int, mc: int, nch: int):
+    """Stitch one z-layer of cell rows: compact stayers to per-cell
+    prefixes, append the cell's movers behind them. Blocks are rank-4
+    (nch|1, mc, mc, cap) slices of the existing dense arrays — the cap
+    axis is the lane axis, so every segment op is an in-tile lane op and
+    the circular wrap of ``pltpu.roll`` IS the cell boundary. ``refs`` =
+    value channels: nch stayer-side + nch mover-side inputs, then the
+    outputs (nch values + pid). ``stay`` is derived in-kernel from
+    spid_ref (>= 0 means the slot's particle stays; the caller pre-masks
+    leavers to -1)."""
+    s_ref, m_ref, out_vals, out_pid = refs
+    shape = (mc, mc, cap)
+    seg = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    spid = spid_ref[0]
+    stay = (spid >= 0).astype(jnp.float32)
 
     # per-cell inclusive prefix of stay -> rank/len (lane scan)
     s = stay
@@ -147,75 +157,65 @@ def _merge_kernel(stat_ref, stay_ref, mov_ref, movpid_ref, out_f32, out_pid,
 
     # --- stayer compaction (left by lane - rank) ----------------------
     shift = jnp.where(stay > 0.5, seg.astype(jnp.float32) - rank_excl, 0.0)
-    chs = [stat_ref[c] for c in range(7)]
+    chs = [s_ref[c] for c in range(nch)] + [spid.astype(jnp.float32)]
     comp = _compact_left(chs, shift, seg, cap, cap)
 
     # --- mover insertion (right by the stayer count) ------------------
     segf = seg.astype(jnp.float32)
-    mpid = movpid_ref[0]
+    mpid = mpid_ref[0]
     # drop movers whose destination lane would leave the cell (cell full):
     # lost-particle conservation at the caller grows cap
     mvalid = (mpid >= 0) & (segf + length < cap)
-    movs = [jnp.where(mvalid, mov_ref[c], 0.0) for c in range(6)] + [
-        jnp.where(mvalid, mov_ref[6], -1.0)
+    movs = [jnp.where(mvalid, m_ref[c], 0.0) for c in range(nch)] + [
+        jnp.where(mvalid, mpid.astype(jnp.float32), -1.0)
     ]
     ins = _shift_right_uniform(movs, jnp.where(mvalid, length, 0.0),
                                seg, cap, cap)
 
     keep_stay = segf < length
-    keep_mov = ins[6] >= 0.0
-    for c in range(6):
-        v = jnp.where(keep_stay, comp[c], jnp.where(keep_mov, ins[c], 0.0))
-        out_f32[c] = v
+    keep_mov = ins[nch] >= 0.0
+    for c in range(nch):
+        out_vals[c] = jnp.where(
+            keep_stay, comp[c], jnp.where(keep_mov, ins[c], 0.0))
     out_pid[0] = jnp.where(
-        keep_stay, comp[6], jnp.where(keep_mov, ins[6], -1.0)
+        keep_stay, comp[nch], jnp.where(keep_mov, ins[nch], -1.0)
     ).astype(jnp.int32)
 
 
-def _merge(state_w: DenseState, stay_f32, movers: DenseState,
+def _merge(state_w: DenseState, spid, movers: DenseState,
            spec: DenseSpec, interpret: bool) -> DenseState:
+    """``spid``: (R, mc, cap) i32, the stayer-masked pid (leavers and
+    empty slots already -1). All inputs are the existing rank-4 dense
+    arrays sliced per z-layer by BlockSpec — no stacking, no reshapes
+    (the first cut paid ~250 MB of relayout copies around a kernel moving
+    ~130 MB). One call when the z-layer blocks fit VMEM, else one call
+    per pos/vel channel group."""
     mc, cap, R = spec.mc, spec.cap, spec.rows
-    G = MOVER_G
-    nprog = (R + G - 1) // G
-    cells_pad = nprog * G * mc
 
-    def flat_cells(a):  # (R, mc, cap) -> (cells_pad, cap), one cell/row
-        a2 = a.reshape(R * mc, cap)
-        if cells_pad != R * mc:
-            a2 = jnp.pad(a2, ((0, cells_pad - R * mc), (0, 0)))
-        return a2
+    def bs(nch):
+        return pl.BlockSpec((nch, mc, mc, cap), lambda z: (0, z, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    stat = jnp.stack(
-        [flat_cells(state_w.pos[i]) for i in range(3)]
-        + [flat_cells(state_w.vel[i]) for i in range(3)]
-        + [flat_cells(state_w.pid.astype(jnp.float32))]
-    )  # (7, cells_pad, cap)
-    mov = jnp.stack(
-        [flat_cells(movers.pos[i]) for i in range(3)]
-        + [flat_cells(movers.vel[i]) for i in range(3)]
-        + [flat_cells(movers.pid.astype(jnp.float32))]
-    )
-    stay2 = flat_cells(stay_f32)[None]
-    mpid2 = flat_cells(movers.pid)[None]
+    def call(nch, s_in, m_in):
+        vals, pid = pl.pallas_call(
+            functools.partial(_merge_kernel, cap=cap, mc=mc, nch=nch),
+            grid=(mc,),
+            in_specs=[bs(1), bs(1), bs(nch), bs(nch)],
+            out_specs=[bs(nch), bs(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nch, R, mc, cap), jnp.float32),
+                jax.ShapeDtypeStruct((1, R, mc, cap), jnp.int32),
+            ],
+            interpret=interpret,
+        )(spid[None], movers.pid[None], s_in, m_in)
+        return vals, pid[0]
 
-    bs = lambda nch: pl.BlockSpec((nch, G * mc, cap), lambda r: (0, r, 0),
-                                  memory_space=pltpu.VMEM)
-    posvel, pid = pl.pallas_call(
-        functools.partial(_merge_kernel, cap=cap, P=mc, G=G),
-        grid=(nprog,),
-        in_specs=[bs(7), bs(1), bs(7), bs(1)],
-        out_specs=[bs(7), bs(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((7, cells_pad, cap), jnp.float32),
-            jax.ShapeDtypeStruct((1, cells_pad, cap), jnp.int32),
-        ],
-        interpret=interpret,
-    )(stat, stay2, mov, mpid2.astype(jnp.int32))
-    shape = (R, mc, cap)
-    nc = R * mc
-    pos = jnp.stack([posvel[i, :nc].reshape(shape) for i in range(3)])
-    vel = jnp.stack([posvel[i, :nc].reshape(shape) for i in range(3, 6)])
-    return DenseState(pos=pos, vel=vel, pid=pid[0, :nc].reshape(shape))
+    # two calls (pos, vel) so the inputs are the existing arrays verbatim
+    # — a single fused call would need a (6, R, mc, cap) concat copy that
+    # costs more than the duplicated (cheap) rank/len recompute
+    pos, pid = call(3, state_w.pos, movers.pos)
+    vel, _ = call(3, state_w.vel, movers.vel)
+    return DenseState(pos=pos, vel=vel, pid=pid)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -250,7 +250,8 @@ def rebuild_dense_incremental(
     span = jnp.max(g_end - (g_start // 128) * 128)
     inc_overflow = span > jnp.int32(MOVER_WINDOW)
 
-    merged = _merge(state, stay.astype(jnp.float32), movers, spec, interpret)
+    spid = jnp.where(stay, state.pid, jnp.int32(-1))
+    merged = _merge(state, spid, movers, spec, interpret)
     return merged, inc_overflow
 
 

@@ -76,10 +76,11 @@ def test_incremental_partition_equals_full_rebuild():
 
 def test_window_overflow_flags_and_falls_back():
     """A from_packed seed state parks every particle in arbitrary slots —
-    nearly all are movers; at mc=6 a group's mover load (~8*n/mc^2 = 1296)
-    exceeds the 1280-lane window: the flag must trip (never silently
-    drop), and the engine's cond must recover via the full path."""
-    n = 5832  # 18^3: L = 18, mc = 6
+    nearly all are movers; at mc=8 a G=2-row group's mover load
+    (n / (R/G) = 13824/32 = 432) exceeds the 512-lane window's usable
+    span (384+alignment): the flag must trip (never silently drop), and
+    the engine's cond must recover via the full path."""
+    n = 13824  # 24^3: L = 24, mc = 8
     system, box = init_lattice(n, 1.0)
     spec = make_spec(box, 2.8, cap=32)
     state = from_packed(system.pos, system.vel, system.pid, spec)

@@ -28,6 +28,10 @@ STAGES = {
     "ablation": ("tools/tpu_force_ablation.py",
                  ["--n", "1000000", "--reps", "10"]),
     "micro": ("tools/tpu_micro_costs.py", []),
+    "inc_phases": ("tools/tpu_inc_phases.py",
+                   ["--n", "1000000", "--cap", "32", "--uniform"]),
+    "inc_phases_lattice": ("tools/tpu_inc_phases.py",
+                           ["--n", "1000000", "--cap", "32"]),
     "bench100k": ("bench.py", ["--n", "100000", "--steps", "200"]),
     "bench1m": ("bench.py", []),
     "bench8m": ("bench.py", ["--n", "8000000", "--steps", "60"]),
