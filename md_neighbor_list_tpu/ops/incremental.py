@@ -135,7 +135,7 @@ def _merge_kernel(spid_ref, mpid_ref, *refs, cap: int, mc: int, nch: int):
     spid_ref (>= 0 means the slot's particle stays; the caller pre-masks
     leavers to -1)."""
     s_ref, m_ref, out_vals, out_pid = refs
-    shape = (mc, mc, cap)
+    shape = spid_ref.shape[1:]  # (B, mc, cap)
     seg = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     spid = spid_ref[0]
     stay = (spid >= 0).astype(jnp.float32)
@@ -191,15 +191,22 @@ def _merge(state_w: DenseState, spid, movers: DenseState,
     ~130 MB). One call when the z-layer blocks fit VMEM, else one call
     per pos/vel channel group."""
     mc, cap, R = spec.mc, spec.cap, spec.rows
+    # 16 cell rows per program: 12 blocks of (16, mc, cap) stay inside the
+    # scoped-VMEM stack at every production shape even with the
+    # (mc, cap) -> (8k, 128) tile padding (a full-z-layer block was 717 KB
+    # padded at mc=35 and OOMed the 16 MB stack). The grid need not divide
+    # R: Pallas pads the tail block's reads (garbage rows are select-safe
+    # — no division in the kernel) and clips its writes.
+    B = 16
 
     def bs(nch):
-        return pl.BlockSpec((nch, mc, mc, cap), lambda z: (0, z, 0, 0),
+        return pl.BlockSpec((nch, B, mc, cap), lambda r: (0, r, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def call(nch, s_in, m_in):
         vals, pid = pl.pallas_call(
             functools.partial(_merge_kernel, cap=cap, mc=mc, nch=nch),
-            grid=(mc,),
+            grid=(pl.cdiv(R, B),),
             in_specs=[bs(1), bs(1), bs(nch), bs(nch)],
             out_specs=[bs(nch), bs(1)],
             out_shape=[
