@@ -191,13 +191,17 @@ def _merge(state_w: DenseState, spid, movers: DenseState,
     ~130 MB). One call when the z-layer blocks fit VMEM, else one call
     per pos/vel channel group."""
     mc, cap, R = spec.mc, spec.cap, spec.rows
-    # 16 cell rows per program: 12 blocks of (16, mc, cap) stay inside the
-    # scoped-VMEM stack at every production shape even with the
-    # (mc, cap) -> (8k, 128) tile padding (a full-z-layer block was 717 KB
-    # padded at mc=35 and OOMed the 16 MB stack). The grid need not divide
-    # R: Pallas pads the tail block's reads (garbage rows are select-safe
-    # — no division in the kernel) and clips its writes.
-    B = 16
+    # Rows per program sized from the kernel's LIVE-TEMPORARY model, not
+    # the block sizes: Mosaic schedules the unrolled log-shift levels
+    # overlapped (measured ~51 live (B, mc, cap)-padded arrays at nch=3 —
+    # a B=16 variant demanded 16.67 MB and OOMed the 16 MB stack on
+    # hardware), and (mc, cap) pads to (8k, 128) tiles. Target <= 10 MB
+    # of temporaries. The grid need not divide R: Pallas pads the tail
+    # block's reads (garbage rows are select-safe — no division in the
+    # kernel) and clips its writes.
+    _live = 52
+    _row_bytes = ((mc + 7) // 8 * 8) * 128 * 4
+    B = max(1, min(16, (10 << 20) // (_live * _row_bytes)))
 
     def bs(nch):
         return pl.BlockSpec((nch, B, mc, cap), lambda r: (0, r, 0, 0),
