@@ -166,11 +166,12 @@ def bench_pallas(cfg, args):
         return int(fetch_scalar(carry_box[0].n_rebuilds))
 
     steps_per_s, windows = timed_windows(run_once, args.steps)
+    rb = ("incremental rebuild, in-graph full-sort fallback"
+          if sim.incremental else "full sort+expand rebuild")
     return build_ms, steps_per_s, pairs, {
         "cap": spec.cap, "mc": spec.mc,
-        "timed": "skin/2 ballistic drift + rebuild (incremental, in-graph "
-                 "full-sort fallback) + one-pass half-list kernel (packed "
-                 "cluster bitmasks + half counts)",
+        "timed": f"skin/2 ballistic drift + {rb} + one-pass half-list "
+                 "kernel (packed cluster bitmasks + half counts)",
         "incremental": sim.incremental,
         **windows,
     }

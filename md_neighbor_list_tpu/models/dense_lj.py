@@ -56,7 +56,7 @@ class DenseSimulator:
 
     def __init__(self, config: MDConfig, cap: int = 40,
                  kernel_impl: str | None = None,
-                 incremental: bool = True):
+                 incremental: bool = False):
         self.config = config
         self.box = Box.from_density(config.n, config.rho)
         self.cap = cap
@@ -65,8 +65,14 @@ class DenseSimulator:
             raise ValueError(f"unknown kernel_impl {self.kernel_impl!r}")
         # incremental rebuild (ops/incremental.py): sort only cell-changers,
         # merge into the standing binning; falls back to the full sort in-
-        # graph when the mover stream overflows its narrow window. The jnp
-        # reference engine always uses the full path.
+        # graph when the mover stream overflows its narrow window.
+        # DEFAULT OFF — measured SLOWER than the full rebuild at N=1M
+        # (19.6 vs 16.2 ms, tools/tpu_inc_phases.py): the full path's cost
+        # is dominated by size-bound floors the incremental path also pays
+        # (keys ~3, sentinel sort ~2.6, row starts ~2.4, expand's
+        # window-width-INDEPENDENT ~7 ms floor) plus its own ~3 ms merge.
+        # Kept as a tested, documented dead end (COMPONENTS.md round-3
+        # notes); the jnp reference engine always uses the full path.
         self.incremental = incremental and self.kernel_impl != "jnp"
         self._compile()
 

@@ -23,6 +23,8 @@ sys.path.insert(0, ROOT)
 STAGES = {
     "compile_probe": ("tools/tpu_compile_probe.py", ["--n", "1000000"]),
     "compile_probe2": ("tools/tpu_compile_probe.py", ["--n", "1000000"]),
+    "compile_probe40": ("tools/tpu_compile_probe.py",
+                        ["--n", "1000000", "--cap", "40"]),
     "breakdown": ("tools/tpu_build_breakdown.py",
                   ["--n", "1000000", "--cap", "32", "--reps", "10"]),
     "ablation": ("tools/tpu_force_ablation.py",
