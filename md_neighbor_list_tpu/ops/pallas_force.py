@@ -284,17 +284,22 @@ def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
     return r2p, dxv, dyv, dzv
 
 
-def _split_rows(spec, want_pe: bool = False) -> bool:
+def _split_rows(spec, want_pe: bool = False, kind: str = "force") -> bool:
     """True when the 5-row merged kernel would blow the 16 MB scoped-VMEM
     stack and each offset row must go in its OWN pallas_call (hard
     temporary isolation — Mosaic's scheduler overlaps the unrolled rows'
     temporaries regardless of source-level structure: an x-chunked variant
     of the merged kernel still demanded 29.4 MB at N=8M shapes). Measured
-    model: the merged hot-path force kernel peaks at ~16 live
-    (mc, cap, 3cap) f32 intermediates (21.9 MB demanded at mc=71, cap=40
-    — the N=8M OOM; fits at mc=35); the want_pe variant (exact divide +
-    PE accumulator) peaks at ~29 (19.4 MB demanded at mc=35, cap=40)."""
-    live = 29 if want_pe else 16
+    live-set model, in (mc, cap, 3cap) f32 intermediates:
+      force          ~16 live (21.9 MB demanded at mc=71, cap=40 — the
+                     N=8M OOM; fits at mc=35)
+      force+want_pe  ~29 (19.4 MB demanded at mc=35, cap=40)
+      counts/lists   <= 10: their merged forms COMPILE AND WIN at the
+                     N=8M shape (mc=71, cap=40: counts 62 vs 150 ms
+                     split, lists 150 vs 163 — tools/tpu_split_probe.py;
+                     ADVICE r2 #4: round 2 reused the force constant and
+                     paid the 5-launch split where merged fit)."""
+    live = {"force": 29 if want_pe else 16, "counts": 10, "lists": 10}[kind]
     return live * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
 
 
@@ -522,7 +527,8 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
     specs = _win_specs_merged(spec)
-    groups = ([(k,) for k in range(5)] if _split_rows(spec)
+    groups = ([(k,) for k in range(5)]
+              if _split_rows(spec, kind="counts")
               else [(0, 1, 2, 3, 4)])
     counts = None
     for ks in groups:
@@ -626,7 +632,8 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     words = mask_words(cap)
     windows = make_windows(pos4, valid_f32, spec)
     specs = _win_specs_merged(spec)
-    groups = ([(k,) for k in range(5)] if _split_rows(spec)
+    groups = ([(k,) for k in range(5)]
+              if _split_rows(spec, kind="lists")
               else [(0, 1, 2, 3, 4)])
     mask_parts = []
     counts = None

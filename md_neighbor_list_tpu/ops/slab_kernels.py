@@ -175,7 +175,8 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
     specs = _slab_win_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
-              if pallas_force._split_rows(spec) else [(0, 1, 2, 3, 4)])
+              if pallas_force._split_rows(spec, kind="lists")
+              else [(0, 1, 2, 3, 4)])
     mask_parts = []
     counts = None
     for ks in groups:

@@ -300,7 +300,7 @@ def test_split_row_kernels_match_merged(monkeypatch):
                                                  True)
 
     monkeypatch.setattr(pallas_force, "_split_rows",
-                        lambda s, want_pe=False: True)
+                        lambda s, want_pe=False, kind="force": True)
     # fresh traces (the jit caches key on static args, not on _split_rows)
     c2 = pallas_force.dense_counts_half.__wrapped__(
         state.pos, v, spec, 2.8, True)
