@@ -42,37 +42,48 @@ def fetch_scalar(x) -> float:
 N_WINDOWS = 5
 
 
-def timed_windows(run_once, steps: int):
-    """Run ``run_once`` (one fenced window of ``steps`` MD steps) N_WINDOWS
-    times and summarize with stall rejection: the relay tunnel occasionally
-    freezes one dispatch for ~2 minutes (measured in round 2: 3.97 /
-    17.84 / 4.47 s windows in one loop), so windows slower than 1.5x the
-    fastest are classed as stalled and excluded; steps/s is the MEDIAN of
-    the un-stalled windows (VERDICT r2 item 4 — min-of-N favored windows
-    with fewer rebuilds; all window durations + per-window rebuild counts
-    go in the JSON)."""
-    elapsed, rebuilds = [], []
+def timed_windows(run_once, steps: int, counter0: int):
+    """Run ``run_once`` (one fenced window of ``steps`` MD steps; returns
+    (cumulative rebuild counter, current capacity)) N_WINDOWS times and
+    summarize with stall rejection: the relay tunnel occasionally freezes
+    one dispatch for ~2 minutes (measured in round 2: 3.97 / 17.84 / 4.47 s
+    windows in one loop), so windows slower than 1.5x the fastest are
+    classed as stalled and excluded; steps/s is the MEDIAN of the un-stalled
+    windows (VERDICT r2 item 4 — min-of-N favored windows with fewer
+    rebuilds; all window durations + per-window rebuild counts go in the
+    JSON). A capacity overflow inside a window triggers rollback + growth +
+    rebuild-from-scratch, which RESETS the rebuild counter (the round-2
+    "-6 rebuilds" artifact) — such windows are excluded too and reported
+    as regrow events with the capacity they grew to."""
+    elapsed, counters, caps = [], [], []
     for _ in range(N_WINDOWS):
         t0 = time.perf_counter()
-        nr = run_once()
+        nr, cap = run_once()
         elapsed.append(time.perf_counter() - t0)
-        rebuilds.append(nr)
-    lo = min(elapsed)
-    unstalled = [e for e in elapsed if e <= 1.5 * lo]
-    steps_per_s = steps / float(np.median(unstalled))
-    per_window = [rebuilds[0]] + [
-        b - a for a, b in zip(rebuilds, rebuilds[1:])
+        counters.append(nr)
+        caps.append(cap)
+    per_window = [
+        b - a if b >= a else None
+        for a, b in zip([counter0] + counters, counters)
     ]
+    regrows = sum(d is None for d in per_window)
+    lo = min(elapsed)
+    good = [e for e, d in zip(elapsed, per_window)
+            if e <= 1.5 * lo and d is not None]
+    steps_per_s = steps / float(np.median(good or elapsed))
     log(
-        f"steps/s: {steps_per_s:.2f} = median of {len(unstalled)}/"
+        f"steps/s: {steps_per_s:.2f} = median of {len(good)}/"
         f"{N_WINDOWS} un-stalled windows of {steps} steps "
         f"({', '.join(f'{e:.2f}' for e in elapsed)} s; rebuilds/window "
-        f"{per_window})"
+        f"{per_window}; regrow windows {regrows}; cap/window {caps})"
     )
     return steps_per_s, {
         "windows_s": [round(e, 3) for e in elapsed],
-        "windows_unstalled": len(unstalled),
+        "windows_unstalled": len(good),
         "rebuilds_per_window": per_window,
+        "rebuild_counters": counters,
+        "regrow_windows": regrows,
+        "cap_per_window": caps,
         "steps_per_window": steps,
     }
 
@@ -82,19 +93,23 @@ def bench_pallas(cfg, args):
     from md_neighbor_list_tpu.ops import pallas_force
 
     impl = "pallas" if jax.default_backend() != "cpu" else "jnp"
-    # cap=32 is the measured occupancy envelope at rho=1 for N=1M (max 31
-    # through the melt, tools/tpu_occupancy_probe.py); pair-eval cost
-    # scales with cap, and an overflow only triggers grow+rollback
-    cap = args.cap or (32 if cfg.n <= 2_000_000 else 40)
+    # Production cap=40 at every N: the round-2 cap=32 envelope (max
+    # occupancy 31 over a 400-step melt probe) was falsified by longer
+    # windows — the N=1M melt overflows cap=32 around step ~600, paying a
+    # mid-measurement rollback + growth + recompile. Equilibrium max cell
+    # occupancy sits in (32, 40]; tools/tpu_occupancy_probe.py tracks it.
+    cap = args.cap or 40
     sim = DenseSimulator(cfg, cap=cap, kernel_impl=impl)
-    spec = sim.spec
-    log(f"dense spec: mc={spec.mc} cap={spec.cap} slots={spec.slots} "
-        f"impl={impl}")
 
     t0 = time.time()
     carry = sim.init(jax.random.PRNGKey(0))
     fetch_scalar(carry.n_rebuilds)
     log(f"init + first build + compile: {time.time() - t0:.1f}s")
+    # read the spec AFTER init: a cold-lattice overflow (dense lattice
+    # planes beating the equilibrium occupancy) grows cap + recompiles
+    spec = sim.spec
+    log(f"dense spec: mc={spec.mc} cap={spec.cap} slots={spec.slots} "
+        f"impl={impl}")
 
     # ---- list build: K chained rebuild+count passes in one jit ----------
     reps = args.reps
@@ -159,17 +174,18 @@ def bench_pallas(cfg, args):
     # stall rejection + median in timed_windows.
     carry_box = [sim.run(carry, args.steps, chunk=args.steps)]  # warm
     fetch_scalar(reducer(carry_box[0]))
+    counter0 = int(fetch_scalar(carry_box[0].n_rebuilds))
 
     def run_once():
         carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
         fetch_scalar(reducer(carry_box[0]))
-        return int(fetch_scalar(carry_box[0].n_rebuilds))
+        return int(fetch_scalar(carry_box[0].n_rebuilds)), sim.spec.cap
 
-    steps_per_s, windows = timed_windows(run_once, args.steps)
+    steps_per_s, windows = timed_windows(run_once, args.steps, counter0)
     rb = ("incremental rebuild, in-graph full-sort fallback"
           if sim.incremental else "full sort+expand rebuild")
     return build_ms, steps_per_s, pairs, {
-        "cap": spec.cap, "mc": spec.mc,
+        "cap": spec.cap, "mc": spec.mc, "cap_final": sim.spec.cap,
         "timed": f"skin/2 ballistic drift + {rb} + one-pass half-list "
                  "kernel (packed cluster bitmasks + half counts)",
         "incremental": sim.incremental,
@@ -218,13 +234,15 @@ def bench_xla(cfg, args):
     )
     carry_box = [sim.run(carry, args.steps, chunk=args.steps)]
     fetch_scalar(reducer(carry_box[0]))
+    counter0 = int(fetch_scalar(carry_box[0].nbr.n_rebuilds))
 
     def run_once():
         carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
         fetch_scalar(reducer(carry_box[0]))
-        return int(fetch_scalar(carry_box[0].nbr.n_rebuilds))
+        return (int(fetch_scalar(carry_box[0].nbr.n_rebuilds)),
+                sim.capacity.neighbors)
 
-    steps_per_s, windows = timed_windows(run_once, args.steps)
+    steps_per_s, windows = timed_windows(run_once, args.steps, counter0)
     log(f"xla: build {build_ms:.2f} ms, {steps_per_s:.2f} steps/s")
     return build_ms, steps_per_s, None, {
         "K": sim.capacity.neighbors,

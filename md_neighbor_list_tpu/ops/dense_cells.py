@@ -135,7 +135,14 @@ def _expand_window(mc: int, cap: int, G: int) -> int:
     """Sorted-stream DMA window for a G-row program: G rows of records
     plus room for a 128-aligned start (the true start is rounded down to
     a 128 boundary; leading strangers belong to earlier rows and fall out
-    of the key-count offsets naturally)."""
+    of the key-count offsets naturally).
+
+    With G=2 the window is shared: a cell-run overflow in the group's
+    FIRST row can push the second row's runs past the window end, dropping
+    particles from cells that do not themselves overflow. This is safe
+    only because of the overflow-detection protocol — every dropped
+    particle fails the caller's slot-count conservation check, triggering
+    rollback + cap growth exactly as a direct overflow would."""
     return ((G * mc * cap + 127) // 128) * 128 + 128
 
 

@@ -124,3 +124,67 @@ def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
         )
         return force, pe.reshape(shape)
     return cnt.reshape(shape)
+
+
+def sweep_counts_chunked(state: DenseState, spec: DenseSpec,
+                         radius: float) -> jnp.ndarray:
+    """Z-layer-chunked twin of ``sweep_reference(want_forces=False)``.
+
+    ``sweep_reference`` materializes (mc^3, cap, cap) temporaries — ~2.3 GB
+    each at N=8M (mc=71, cap=40), which exhausts HBM. This variant runs the
+    identical arithmetic (pre-shifted periodic images, same masking, exact
+    i32 accumulation) one z-layer at a time under ``lax.map``, bounding the
+    live temporaries to (mc^2, cap, cap) ~ 32 MB. Counts are bitwise equal
+    to the full sweep (integer sums are order-independent; the per-pair
+    float geometry is computed by the same expression tree) — asserted on
+    hardware by validate_tpu's "chunked reference == reference" gate and on
+    CPU by tests/test_dense.py."""
+    mc, cap = spec.mc, spec.cap
+    x = jnp.stack([_as5d(state.pos[i], spec) for i in range(3)])
+    valid = _as5d(state.valid(), spec)
+    r2cut = jnp.float32(radius * radius)
+    fL = jnp.float32(spec.L)
+    eye = jnp.eye(cap, dtype=bool)
+    iota = jnp.arange(mc)
+
+    def inplane_shift(d: int, axis: int) -> jnp.ndarray:
+        # per-index image shift for a (mc, mc, cap) layer: axis 0 = y, 1 = x
+        s = fL * ((iota + d) // mc).astype(jnp.float32)
+        shape = [1, 1, 1]
+        shape[axis] = mc
+        return s.reshape(shape)
+
+    def layer_counts(z0):
+        xi = [jax.lax.dynamic_index_in_dim(x[i], z0, 0, keepdims=False)
+              for i in range(3)]
+        vi = jax.lax.dynamic_index_in_dim(valid, z0, 0, keepdims=False)
+        cnt = jnp.zeros((mc, mc, cap), jnp.int32)
+        for dz in (-1, 0, 1):
+            j = z0 + dz
+            # same image arithmetic as _axis_shift: value of neighbor layer
+            # j in [-1, mc] is x[j mod mc] + L * floor(j / mc)
+            zoff = fL * jnp.floor_divide(j, mc).astype(jnp.float32)
+            jm = jnp.mod(j, mc)
+            xj0 = [jax.lax.dynamic_index_in_dim(x[i], jm, 0, keepdims=False)
+                   for i in range(3)]
+            vj0 = jax.lax.dynamic_index_in_dim(valid, jm, 0, keepdims=False)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    rolled = [jnp.roll(c, (-dy, -dx), axis=(0, 1))
+                              for c in xj0]
+                    vj = jnp.roll(vj0, (-dy, -dx), axis=(0, 1))
+                    xj = rolled[0] + inplane_shift(dx, 1)
+                    yj = rolled[1] + inplane_shift(dy, 0)
+                    zj = rolled[2] + zoff
+                    dxv = xi[0][..., :, None] - xj[..., None, :]
+                    dyv = xi[1][..., :, None] - yj[..., None, :]
+                    dzv = xi[2][..., :, None] - zj[..., None, :]
+                    r2 = dxv * dxv + dyv * dyv + dzv * dzv
+                    mask = (r2 < r2cut) & vj[..., None, :] & vi[..., :, None]
+                    if (dz, dy, dx) == (0, 0, 0):
+                        mask &= ~eye
+                    cnt = cnt + jnp.sum(mask.astype(jnp.int32), axis=-1)
+        return cnt
+
+    cnts = jax.lax.map(layer_counts, jnp.arange(mc, dtype=jnp.int32))
+    return cnts.reshape(spec.rows, spec.mc, spec.cap)

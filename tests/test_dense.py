@@ -84,6 +84,17 @@ def test_dense_counts_match_oracle():
     assert engine_pairs == want
 
 
+def test_chunked_reference_counts_bitwise_equal():
+    """The z-layer-chunked reference (the large-N validation twin, where
+    the full sweep's temporaries exceed HBM) is bitwise-equal to the full
+    sweep — identical pre-shifted-image arithmetic, integer accumulation."""
+    for key in (None, 7):  # lattice and jittered (boundary-exercising)
+        state, spec, _, _ = _dense_state(key=key)
+        full = dense_ref.sweep_reference(state, spec, 2.8, want_forces=False)
+        chunked = dense_ref.sweep_counts_chunked(state, spec, 2.8)
+        assert bool(jnp.all(chunked == full))
+
+
 def test_dense_forces_match_oracle():
     state, spec, box, pos = _dense_state(key=3)
     force, pe = dense_ref.sweep_reference(state, spec, 2.5, want_forces=True)

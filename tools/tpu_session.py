@@ -11,6 +11,7 @@ main() functions IN ONE PROCESS (one grant), in order:
 Each stage is isolated with try/except so one failure doesn't waste the
 session; argv is patched per stage.
 """
+import gc
 import pathlib
 import runpy
 import sys
@@ -43,6 +44,7 @@ STAGES = {
     "validate8m": ("tools/validate_tpu.py",
                    ["--n", "8000000", "--steps", "500"]),
     "slabcost": ("tools/tpu_slab_cost.py", []),
+    "occupancy": ("tools/tpu_occupancy_probe.py", []),
 }
 
 
@@ -60,6 +62,19 @@ def main():
         except Exception:
             traceback.print_exc()
             print(f"stage {name}: FAILED", flush=True)
+            # A stage that died on RESOURCE_EXHAUSTED leaves its arrays
+            # and jit caches holding HBM, poisoning every later stage
+            # (observed: one N=8M OOM cascaded into scalar-allocation
+            # failures). Stages share no arrays, so hard-purge.
+            try:
+                import jax
+
+                for a in jax.live_arrays():
+                    a.delete()
+                jax.clear_caches()
+            except Exception:
+                traceback.print_exc()
+        gc.collect()
         print(f"===== STAGE {name} done in {time.time()-t0:.0f}s =====",
               flush=True)
 

@@ -82,6 +82,14 @@ def main():
     ok &= gate("half-sweep count parity vs oracle",
                pairs_h == pairs_o, f"({pairs_h} vs {pairs_o})")
 
+    # the z-chunked reference (used for the large-N count gate, where the
+    # full sweep's (mc^3, cap^2) temporaries exceed HBM) must be bitwise-
+    # equal to the full reference
+    c_f = dense_ref.sweep_reference(st0, spec0, 2.8, want_forces=False)
+    c_c = dense_ref.sweep_counts_chunked(st0, spec0, 2.8)
+    ok &= gate("chunked reference == reference (bitwise)",
+               bool(jnp.all(c_c == c_f)))
+
     # list artifact at production cap: one-pass masks+counts; per-slot bit
     # tallies of the packed words must reproduce the counts bit-for-bit
     c_l, masks = pallas_force.dense_lists_half(st0.pos, valid0, spec0, 2.8,
@@ -179,8 +187,13 @@ def main():
         carry.state.pos, carry.state.valid().astype(jnp.float32),
         sim.spec, cfg.rs, False,
     )
-    cr = dense_ref.sweep_reference(carry.state, sim.spec, cfg.rs,
-                                   want_forces=False)
+    # full sweep_reference materializes (mc^3, cap, cap) temporaries —
+    # fine at N=1M (~176 MB each), OOM at N=8M (~2.3 GB each): chunk
+    if sim.spec.slots > 4_000_000:
+        cr = dense_ref.sweep_counts_chunked(carry.state, sim.spec, cfg.rs)
+    else:
+        cr = dense_ref.sweep_reference(carry.state, sim.spec, cfg.rs,
+                                       want_forces=False)
     ok &= gate(
         f"count kernel == reference at N={args.n}",
         bool(jnp.all(jnp.where(carry.state.valid(), cl == cr, True))),
