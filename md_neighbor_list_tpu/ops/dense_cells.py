@@ -21,8 +21,11 @@ Rebuild = one multi-payload XLA sort (the only O(N log N) op) + a Pallas
 per-sublane variable rolls — no scatter, no searchsorted-self.
 
 Cell-capacity note: an equilibrated LJ liquid at rho=1 has strongly
-sub-Poisson occupancy fluctuations (repulsion suppresses them), so cap=32
-covers mean~23 with wide margin; overflow is still *detected* (a truncated
+sub-Poisson occupancy fluctuations (repulsion suppresses them), but the
+equilibrium max over ~43k cells still crosses 32 during long N=1M runs
+(measured: a cap=32 run overflows around step ~600 of the melt) —
+production cap is 40, which also exactly fills the 128-lane tile
+(window 3*cap = 120 lanes). Overflow is always *detected* (a truncated
 particle is a lost particle, counted against N) and recovered by re-jit
 growth (SURVEY.md §4.3).
 """
@@ -66,10 +69,11 @@ class DenseSpec:
 
 def grow_cap(cap: int) -> int:
     """Next cell capacity after an overflow: +25% (at least one 8-sublane
-    tile), rounded to the tile. Gentle on purpose — the measured occupancy
-    ceiling at rho=1 is ~31 (cap=32 'probe' in tools/), so the common
-    growth is exactly one step (32 -> 40) and pair-eval cost, which scales
-    with cap, never overshoots."""
+    tile), rounded to the tile. Gentle on purpose — at rho=1 the
+    equilibrium occupancy tail sits just above 32 (tools/
+    tpu_occupancy_probe.py), so a cap=32 run grows exactly one step
+    (32 -> 40) and pair-eval cost, which scales with cap, never
+    overshoots."""
     return ((cap + max(8, cap // 4) + 7) // 8) * 8
 
 
