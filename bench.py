@@ -167,19 +167,21 @@ def bench_pallas(cfg, args):
         f"({pairs} pairs)")
 
     # ---- steps/s ---------------------------------------------------------
-    reducer = jax.jit(
-        lambda c: jnp.sum(c.state.vel) + c.n_rebuilds.astype(jnp.float32)
-    )
+    # One 2-element fetch fences the window AND reads the rebuild counter
+    # (folding both into a single host round-trip: a second fetch inside
+    # the timed region would bill every window one extra tunnel trip).
+    reducer = jax.jit(lambda c: jnp.stack(
+        [jnp.sum(c.state.vel), c.n_rebuilds.astype(jnp.float32)]
+    ))
     # One device dispatch per timed window (chunk = the whole window);
     # stall rejection + median in timed_windows.
     carry_box = [sim.run(carry, args.steps, chunk=args.steps)]  # warm
-    fetch_scalar(reducer(carry_box[0]))
-    counter0 = int(fetch_scalar(carry_box[0].n_rebuilds))
+    counter0 = int(np.asarray(reducer(carry_box[0]))[1])
 
     def run_once():
         carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
-        fetch_scalar(reducer(carry_box[0]))
-        return int(fetch_scalar(carry_box[0].n_rebuilds)), sim.spec.cap
+        nr = int(np.asarray(reducer(carry_box[0]))[1])
+        return nr, sim.spec.cap
 
     steps_per_s, windows = timed_windows(run_once, args.steps, counter0)
     rb = ("incremental rebuild, in-graph full-sort fallback"
@@ -228,19 +230,17 @@ def bench_xla(cfg, args):
     fetch_scalar(chained(carry.system))
     build_ms = (time.perf_counter() - t0) * 1e3 / args.reps
 
-    reducer = jax.jit(
-        lambda c: jnp.sum(c.system.vel)
-        + c.nbr.n_rebuilds.astype(jnp.float32)
-    )
+    # single fenced fetch per window, as in bench_pallas
+    reducer = jax.jit(lambda c: jnp.stack(
+        [jnp.sum(c.system.vel), c.nbr.n_rebuilds.astype(jnp.float32)]
+    ))
     carry_box = [sim.run(carry, args.steps, chunk=args.steps)]
-    fetch_scalar(reducer(carry_box[0]))
-    counter0 = int(fetch_scalar(carry_box[0].nbr.n_rebuilds))
+    counter0 = int(np.asarray(reducer(carry_box[0]))[1])
 
     def run_once():
         carry_box[0] = sim.run(carry_box[0], args.steps, chunk=args.steps)
-        fetch_scalar(reducer(carry_box[0]))
-        return (int(fetch_scalar(carry_box[0].nbr.n_rebuilds)),
-                sim.capacity.neighbors)
+        nr = int(np.asarray(reducer(carry_box[0]))[1])
+        return nr, sim.capacity.neighbors
 
     steps_per_s, windows = timed_windows(run_once, args.steps, counter0)
     log(f"xla: build {build_ms:.2f} ms, {steps_per_s:.2f} steps/s")
@@ -260,9 +260,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cap", type=int, default=0,
                     help="dense cell capacity (grown automatically on "
-                    "overflow); 0 = auto: 32 below N=2M (measured "
-                    "occupancy ceiling 31 at rho=1), 40 above (max-cell "
-                    "statistics over more cells)")
+                    "overflow); 0 = production default 40 at every N "
+                    "(equilibrium max occupancy at rho=1 crosses 32 — "
+                    "tools/tpu_occupancy_probe.py)")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--profile", default=None,
                     help="directory for a jax.profiler trace of the step loop")

@@ -114,10 +114,11 @@ def masks_to_padded(masks, pid, spec, n: int | None = None,
     pi = (np.concatenate(owns) if owns else np.zeros((0,), np.int64))
     pj = (np.concatenate(partners) if partners else np.zeros((0,), np.int64))
     cnt = np.bincount(pi, minlength=n).astype(np.int32)
+    max_cnt = int(cnt.max()) if cnt.size else 0  # .max() raises on n == 0
     if k_cap is None:
-        k_cap = max(8, int(-(-int(cnt.max() or 0) // 8) * 8))
-    elif int(cnt.max() or 0) > k_cap:
-        raise ValueError(f"k_cap={k_cap} < max half count {int(cnt.max())}")
+        k_cap = max(8, -(-max_cnt // 8) * 8)
+    elif max_cnt > k_cap:
+        raise ValueError(f"k_cap={k_cap} < max half count {max_cnt}")
     idx = np.full((n, k_cap), n, np.int32)
     order = np.argsort(pi, kind="stable")
     pi, pj = pi[order], pj[order]

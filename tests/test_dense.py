@@ -242,6 +242,24 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
     assert rows == want
 
 
+def test_decode_empty_artifact():
+    """Decoding an artifact with no set bits (e.g. a fresh/empty state)
+    returns empty results instead of crashing (review fix: cnt.max() on a
+    zero-size array)."""
+    from md_neighbor_list_tpu.ops.decode import decode_pairs, masks_to_padded
+
+    _, spec, _, _ = _dense_state()
+    words = -(-spec.cap // 32)
+    masks = jnp.zeros(
+        (5, words, spec.rows, spec.mc, 3 * spec.cap), jnp.int32
+    )
+    pid = jnp.full((spec.rows, spec.mc, spec.cap), -1, jnp.int32)
+    i, j = decode_pairs(masks, pid, spec)
+    assert i.size == 0 and j.size == 0
+    idx, cnt = masks_to_padded(masks, pid, spec)
+    assert idx.shape == (0, 8) and cnt.size == 0
+
+
 def test_dense_simulator_nve_jnp():
     """Full DenseSimulator NVE on the jnp path: energy conservation +
     rebuilds engaging + force parity with the XLA Simulator."""

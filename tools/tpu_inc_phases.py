@@ -133,7 +133,10 @@ def p_merge_only(s):
     s2 = s._replace(pos=jnp.mod(s.pos, jnp.float32(spec.L)))
     mov, _ = sort_expand(_flat(mk), chans, spec, False,
                          group=MOVER_G, window=MOVER_WINDOW)
-    merged = _merge(s2, stay.astype(jnp.float32), mov, spec, False)
+    # _merge takes the stayer-MASKED pid (leavers/empties -> -1), not the
+    # 0/1 stay mask — passing the mask made every slot look like a stayer
+    # and timed a degenerate all-stayer merge (review fix).
+    merged = _merge(s2, jnp.where(stay, s2.pid, -1), mov, spec, False)
     return (jnp.sum(merged.pos[0, 0, 0])
             + jnp.sum((merged.pid >= 0).astype(jnp.float32)))
 
