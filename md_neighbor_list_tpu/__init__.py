@@ -15,6 +15,7 @@ file:line):
 - slab domain decomposition with halo exchange over ICI            [C5, D1-D3]
 """
 
+from md_neighbor_list_tpu.api import neighbor_list, pair_list
 from md_neighbor_list_tpu.core.box import Box
 from md_neighbor_list_tpu.core.config import MDConfig, PRESETS
 from md_neighbor_list_tpu.core.system import System, init_lattice, init_random
@@ -28,4 +29,6 @@ __all__ = [
     "System",
     "init_lattice",
     "init_random",
+    "neighbor_list",
+    "pair_list",
 ]

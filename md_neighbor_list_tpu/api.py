@@ -1,0 +1,114 @@
+"""One-call neighbor-list API — the library's front door.
+
+The reference's core contract (SURVEY.md §3 R5–R8; BASELINE.json:5) is
+"given positions + box + search radius, emit a per-particle neighbor list /
+pair list". Inside the engines that contract is spread across binning specs,
+dense states, and capacity policies; this module collapses it back to the
+one call a downstream user of a neighbor-list library expects:
+
+    import md_neighbor_list_tpu as mdnl
+    idx, cnt = mdnl.neighbor_list(pos, L, 2.8)         # (N, K) + (N,)
+    i, j = mdnl.pair_list(pos, L, 2.8)                 # explicit pairs
+
+Contract: rows and entries are in the CALLER's particle order, padded with
+the sentinel ``N`` (a gather of a padded slot hits a ghost row, SURVEY.md
+§4.3); capacities are estimated from density (core/capacity.py) and grown
+on detected overflow — never silently truncated (SURVEY.md §6.2). The
+implementation is the pure-XLA sweep (ops/pairlist.py), which runs on CPU
+and TPU alike and is parity-tested against the O(N²) oracle; for maximum
+single-chip throughput inside an MD loop use ``DenseSimulator`` (Pallas
+kernels) instead — this entry point is for library-style one-shot builds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from md_neighbor_list_tpu.core.box import Box
+from md_neighbor_list_tpu.core.capacity import estimate
+from md_neighbor_list_tpu.ops import oracle
+from md_neighbor_list_tpu.ops.binning import make_grid
+from md_neighbor_list_tpu.ops.pairlist import build_neighbor_lists_stable
+
+
+def _as_box(box) -> Box:
+    return box if isinstance(box, Box) else Box(L=float(box))
+
+
+def neighbor_list(pos, box, radius: float, *, half: bool = False,
+                  k_cap: int | None = None, layout: str = "rowmajor",
+                  chunk: int = 2048):
+    """Fixed-capacity padded neighbor lists for arbitrary positions.
+
+    Args:
+      pos:    (N, 3) float32 positions (wrapped or not — min-image math
+              handles either; see core/box.py).
+      box:    periodic cube side length L, or a ``Box``.
+      radius: search radius (e.g. rc + skin).
+      half:   True → Newton-3 half lists: each unordered pair appears in
+              exactly ONE row (attribution follows the engine's internal
+              spatial sort order, not index order — canonicalize with
+              ``pair_list`` if you need i < j). False → full symmetric
+              rows.
+      k_cap:  fixed row capacity K. Default: estimated from density and
+              grown automatically on overflow. If given explicitly, an
+              overflow raises ``ValueError`` instead (the caller asked for
+              a hard shape contract).
+      layout: "rowmajor" or "morton" spatial sort key (C4) — identical
+              output, different internal particle ordering.
+
+    Returns (idx, cnt): ``idx`` (N, K) int32, row i = neighbor indices of
+    particle i in the caller's order, padded with sentinel N; ``cnt`` (N,)
+    int32 true neighbor counts.
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    n = int(pos.shape[0])
+    box = _as_box(box)
+    grid = make_grid(box, radius)
+    rho = n / box.volume()
+    est = estimate(rho, radius, grid.cell_size, half_list=half)
+    k = k_cap if k_cap is not None else max(est.neighbors, 8)
+    cell_cap = max(est.cell, 8)
+
+    while True:
+        if not grid.usable:
+            idx, cnt = oracle.neighbors(pos, box, radius, k, half)
+            overflow = bool(jnp.max(cnt) > k)
+        else:
+            nl = build_neighbor_lists_stable(
+                pos, box, grid, radius, k, cell_cap, half,
+                layout=layout, chunk=chunk,
+            )
+            idx, cnt, overflow = nl.idx, nl.count, bool(nl.overflow)
+        if not overflow:
+            return idx, cnt
+        if k_cap is not None:
+            raise ValueError(
+                f"k_cap={k_cap} overflows: max neighbor count is "
+                f"{int(jnp.max(cnt))}; pass a larger k_cap or let it "
+                "default"
+            )
+        k = int(k * 1.5) + 8
+        cell_cap = int(cell_cap * 1.5) + 8
+
+
+def pair_list(pos, box, radius: float, **kw):
+    """Explicit half pair list (i, j) with i < j, each unordered pair once.
+
+    Host-side numpy expansion of ``neighbor_list(..., half=True)`` — pair
+    extraction is the irregular decode the TPU engines avoid; its
+    consumers (analysis, interop) are host-side (same stance as
+    ops/decode.py). Total length == the exact pair count."""
+    idx, cnt = neighbor_list(pos, box, radius, half=True, **kw)
+    n = idx.shape[0]
+    idx = np.asarray(idx)
+    rows = np.repeat(np.arange(n, dtype=np.int64)[:, None], idx.shape[1], 1)
+    keep = idx < n
+    i, j = rows[keep], idx[keep].astype(np.int64)
+    lo = np.minimum(i, j)
+    hi = np.maximum(i, j)
+    return lo.astype(np.int32), hi.astype(np.int32)
+
+
+__all__ = ["neighbor_list", "pair_list"]

@@ -209,7 +209,7 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
 
 
 def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,
-              z0_cell: jnp.ndarray) -> jnp.ndarray:
+              z0_cell: jnp.ndarray, wrap: bool = True) -> jnp.ndarray:
     """Per-slot sort key for the slab rebuild, over WRAPPED positions.
 
     With s = (iz_global - z0 + 1) mod mc_z (z0 = this device's first
@@ -219,7 +219,12 @@ def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,
     protocol, dropped and caught by the global count check). The key
     x + mc*(y + mc*s) sorts emigrants below/above the owned key range
     [mc^2, mc^2*(nz+1)), which sort_expand(key_base=mc^2) then drops.
-    Invalid slots get the park key mc^2*(nz+2)."""
+    Invalid slots get the park key mc^2*(nz+2).
+
+    ``wrap=False`` (the P=1 self-halo mode, where nz = mc_z and z0 = 0):
+    the ring mod would map the TOP owned layer (iz = mc_z - 1, s = 0) to a
+    left-emigrant key and drop it; with no neighbor devices there are no
+    emigrants at all, so s = iz + 1 directly — every valid slot is owned."""
     mc = spec.mc
     inv = jnp.float32(1.0 / spec.cell_size)
     inv_z = jnp.float32(1.0 / spec.cell_z)
@@ -227,7 +232,9 @@ def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,
     iy = jnp.clip(jnp.floor(pos[1] * inv).astype(jnp.int32), 0, mc - 1)
     iz = jnp.clip(jnp.floor(pos[2] * inv_z).astype(jnp.int32), 0,
                   spec.mc_z - 1)
-    s = jnp.mod(iz - z0_cell + 1, spec.mc_z)
+    s = iz - z0_cell + 1
+    if wrap:
+        s = jnp.mod(s, spec.mc_z)
     key = ix + mc * (iy + mc * s)
     return jnp.where(valid, key, jnp.int32(mc * mc * (spec.nz + 2)))
 

@@ -92,13 +92,23 @@ class SlabCarry(NamedTuple):
 
 class DenseSlabSimulator:
     """Distributed LJ/NVE over P dense slabs. API mirrors DenseSimulator.
-    kernel_impl: 'pallas' (TPU) or 'interpret' (CPU tests/virtual mesh)."""
+    kernel_impl: 'pallas' (TPU) or 'interpret' (CPU tests/virtual mesh).
+
+    P=1 is the SELF-HALO validation mode: the full distributed program —
+    shard_map, halo/seam ppermutes (self-sends), rebuild vote, migration
+    keying — runs unchanged on a single device, so the DD path can be
+    executed and gated on real TPU hardware where only one chip exists
+    (tools/validate_tpu.py --dd-p1). Two trace-time specializations: the
+    boundary-layer exchange is skipped (a self-exchange would duplicate
+    every boundary particle into the sort stream) and ``slab_keys`` runs
+    unwrapped (the ring mod would alias the top layer to a left-emigrant
+    key — see its docstring). For production single-chip runs prefer
+    DenseSimulator (no ghost layer, zwrap kernels, ~12% fewer rows)."""
 
     def __init__(self, config: MDConfig, cap: int = 40,
                  kernel_impl: str | None = None):
-        if config.mesh_devices < 2:
-            raise ValueError("DenseSlabSimulator needs mesh_devices >= 2; "
-                             "use DenseSimulator for a single chip")
+        if config.mesh_devices < 1:
+            raise ValueError("DenseSlabSimulator needs mesh_devices >= 1")
         self.config = config
         self.box = Box.from_density(config.n, config.rho)
         self.p = config.mesh_devices
@@ -152,30 +162,44 @@ class DenseSlabSimulator:
                     lax.ppermute(state.pid[sl], AXIS, perm),
                 )
 
-            # emigrants live only in boundary layers (they moved <= 1 cell
-            # since the last rebuild) -> exchanging those layers IS the
-            # migration transport; non-residents key themselves out. NO
-            # seam shift here: records enter the sort in the wrapped
-            # global frame (slab_keys handles the ring via its mod)
-            recv_l = send(last, perm_plus)    # left neighbor's top layer
-            recv_r = send(first, perm_minus)  # right neighbor's bottom
+            if p == 1:
+                # self-halo mode: every particle is already resident (no
+                # migration transport exists to receive from), and a self-
+                # exchange would enter each boundary particle twice into
+                # the sort; unwrapped keys own all mc_z layers
+                k_own = slab_keys(pos, state.pid >= 0, spec, z0, wrap=False)
+                keys = k_own.reshape(-1)
+                chans = tuple(pos[i].reshape(-1) for i in range(3)) + tuple(
+                    state.vel[i].reshape(-1) for i in range(3)
+                ) + (state.pid.reshape(-1).astype(jnp.float32),)
+            else:
+                # emigrants live only in boundary layers (they moved <= 1
+                # cell since the last rebuild) -> exchanging those layers
+                # IS the migration transport; non-residents key themselves
+                # out. NO seam shift here: records enter the sort in the
+                # wrapped global frame (slab_keys handles the ring via its
+                # mod)
+                recv_l = send(last, perm_plus)    # left nbr's top layer
+                recv_r = send(first, perm_minus)  # right nbr's bottom
 
-            k_own = slab_keys(pos, state.pid >= 0, spec, z0)
-            k_l = slab_keys(recv_l[0], recv_l[2] >= 0, spec, z0)
-            k_r = slab_keys(recv_r[0], recv_r[2] >= 0, spec, z0)
+                k_own = slab_keys(pos, state.pid >= 0, spec, z0)
+                k_l = slab_keys(recv_l[0], recv_l[2] >= 0, spec, z0)
+                k_r = slab_keys(recv_r[0], recv_r[2] >= 0, spec, z0)
 
-            def chan(own, rl, rr):
-                return jnp.concatenate(
-                    [own.reshape(-1), rl.reshape(-1), rr.reshape(-1)]
-                )
+                def chan(own, rl, rr):
+                    return jnp.concatenate(
+                        [own.reshape(-1), rl.reshape(-1), rr.reshape(-1)]
+                    )
 
-            keys = chan(k_own, k_l, k_r)
-            chans = tuple(
-                chan(pos[i], recv_l[0][i], recv_r[0][i]) for i in range(3)
-            ) + tuple(
-                chan(state.vel[i], recv_l[1][i], recv_r[1][i])
-                for i in range(3)
-            ) + (chan(state.pid, recv_l[2], recv_r[2]).astype(jnp.float32),)
+                keys = chan(k_own, k_l, k_r)
+                chans = tuple(
+                    chan(pos[i], recv_l[0][i], recv_r[0][i])
+                    for i in range(3)
+                ) + tuple(
+                    chan(state.vel[i], recv_l[1][i], recv_r[1][i])
+                    for i in range(3)
+                ) + (chan(state.pid, recv_l[2],
+                          recv_r[2]).astype(jnp.float32),)
             new, _ = slab_sort_expand(keys, chans, spec, interp)
 
             # conservation: every particle kept by exactly one device

@@ -1,0 +1,86 @@
+"""Top-level one-call API (api.py): the library front door must emit
+oracle-exact pair sets for arbitrary positions, in the caller's particle
+order, with automatic capacity growth — no engine plumbing required."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import md_neighbor_list_tpu as mdnl
+from md_neighbor_list_tpu.core.box import Box
+from md_neighbor_list_tpu.ops import oracle
+
+
+def _random_system(n, rho, seed):
+    box = Box.from_density(n, rho)
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(seed), (n, 3), jnp.float32, 0.0, box.L
+    )
+    return pos, box
+
+
+def _oracle_pairs(pos, box, rs, k_cap=128):
+    idx, cnt = oracle.neighbors(pos, box, rs, k_cap, half=True)
+    assert int(jnp.max(cnt)) <= k_cap, "oracle helper truncated"
+    n = pos.shape[0]
+    idx = np.asarray(idx)
+    rows = np.repeat(np.arange(n)[:, None], idx.shape[1], 1)
+    keep = idx < n
+    i, j = rows[keep], np.asarray(idx)[keep]
+    return set(zip(np.minimum(i, j).tolist(), np.maximum(i, j).tolist()))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pair_list_matches_oracle(seed):
+    pos, box = _random_system(2000, 1.0, seed)
+    rs = 2.8
+    i, j = mdnl.pair_list(pos, box, rs)
+    assert (i < j).all()
+    got = set(zip(i.tolist(), j.tolist()))
+    assert len(got) == len(i), "duplicate pairs"
+    assert got == _oracle_pairs(pos, box, rs)
+
+
+def test_neighbor_list_full_rows_match_oracle():
+    pos, box = _random_system(1500, 0.8, 2)
+    rs = 2.5
+    idx, cnt = mdnl.neighbor_list(pos, box, rs, half=False)
+    n = pos.shape[0]
+    want_idx, want_cnt = oracle.neighbors(pos, box, rs, 128, half=False)
+    assert np.array_equal(np.asarray(cnt), np.asarray(want_cnt))
+    for r in range(n):  # same SET per row (slot order may differ)
+        a = set(np.asarray(idx[r][idx[r] < n]).tolist())
+        b = set(np.asarray(want_idx[r][want_idx[r] < n]).tolist())
+        assert a == b, r
+
+
+def test_scalar_box_and_tiny_system_fallback():
+    """A float L works as the box; boxes with mc < 3 take the all-pairs
+    fallback and still give oracle-exact pairs."""
+    pos, box = _random_system(64, 1.0, 3)  # L=4 -> mc=1 at rs=2.8
+    i, j = mdnl.pair_list(pos, box.L, 2.8)
+    assert set(zip(i.tolist(), j.tolist())) == _oracle_pairs(pos, box, 2.8)
+
+
+def test_explicit_k_cap_overflow_raises():
+    pos, box = _random_system(2000, 1.0, 4)
+    with pytest.raises(ValueError, match="k_cap"):
+        mdnl.neighbor_list(pos, box, 2.8, k_cap=4)
+
+
+def test_auto_capacity_grows_on_cluster():
+    """An adversarial dense cluster overflows the density-based estimate;
+    the default path must grow and return complete lists."""
+    n = 512
+    box = Box(L=20.0)
+    key = jax.random.PRNGKey(5)
+    pos = jnp.concatenate([
+        10.0 + 0.8 * jax.random.uniform(key, (n // 2, 3), jnp.float32),
+        jax.random.uniform(jax.random.PRNGKey(6), (n - n // 2, 3),
+                           jnp.float32, 0.0, box.L),
+    ])
+    i, j = mdnl.pair_list(pos, box, 2.8)
+    assert set(zip(i.tolist(), j.tolist())) == _oracle_pairs(
+        pos, box, 2.8, k_cap=320
+    )

@@ -32,9 +32,29 @@ def _single_positions(key, steps):
     return sim.to_system(carry)
 
 
-def test_requires_multiple_devices():
-    with pytest.raises(ValueError, match="mesh_devices"):
-        DenseSlabSimulator(MDConfig(**CFG, mesh_devices=1))
+def test_dense_dd_p1_self_halo_matches_single_chip():
+    """P=1 self-halo mode: the FULL distributed program (shard_map,
+    self-ppermute halos, rebuild vote, unwrapped migration keys) on one
+    device must reproduce the single-chip dense engine — this is the mode
+    that lets the DD path execute on the one real TPU chip."""
+    steps = 20
+    key = jax.random.PRNGKey(4)
+    dd = DenseSlabSimulator(_dd(1), cap=16)
+    sd = dd.run(dd.init(key), steps, chunk=20)
+    sys_dd = dd.gather(sd)
+
+    _, total = dd.lists(sd)
+    want = int(oracle.pair_count(sys_dd.pos, dd.box, dd.config.rs))
+    assert total == want
+
+    p1, _, _ = _single_positions(key, steps)
+    p_dd = reorder_by_pid(np.asarray(sys_dd.pos), np.asarray(sys_dd.pid))
+    d = np.abs(p_dd - p1)
+    d = np.minimum(d, dd.box.L - d)
+    assert d.max() < 2e-4, d.max()
+    assert int(np.asarray(sd.n_rebuilds)[0]) >= 1
+    assert int(np.asarray(sd.n_migrated)[0]) == 0  # nowhere to migrate
+    assert not bool(np.asarray(sd.overflow).any())
 
 
 def test_dense_dd_initial_forces_and_pairs_match():
