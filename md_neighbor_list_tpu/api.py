@@ -66,6 +66,9 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
     n = int(pos.shape[0])
     box = _as_box(box)
     grid = make_grid(box, radius)
+    if n == 0:
+        k = k_cap if k_cap is not None else 8
+        return jnp.zeros((0, k), jnp.int32), jnp.zeros((0,), jnp.int32)
     rho = n / box.volume()
     est = estimate(rho, radius, grid.cell_size, half_list=half)
     k = k_cap if k_cap is not None else max(est.neighbors, 8)
@@ -74,14 +77,23 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
     while True:
         if not grid.usable:
             idx, cnt = oracle.neighbors(pos, box, radius, k, half)
-            overflow = bool(jnp.max(cnt) > k)
+            row_of = bool(jnp.max(cnt) > k)
+            cell_of = False
         else:
             nl = build_neighbor_lists_stable(
                 pos, box, grid, radius, k, cell_cap, half,
                 layout=layout, chunk=chunk,
             )
-            idx, cnt, overflow = nl.idx, nl.count, bool(nl.overflow)
-        if not overflow:
+            idx, cnt = nl.idx, nl.count
+            cell_of = int(nl.cell_max) > cell_cap
+            row_of = int(nl.max_count) > k
+        if cell_of:
+            # a too-small cell table DROPS candidates, so `cnt` is an
+            # undercount — grow the (internal) table and re-measure before
+            # judging k, even under an explicit k_cap contract
+            cell_cap = int(cell_cap * 1.5) + 8
+            continue
+        if not row_of:
             return idx, cnt
         if k_cap is not None:
             raise ValueError(
@@ -90,7 +102,6 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
                 "default"
             )
         k = int(k * 1.5) + 8
-        cell_cap = int(cell_cap * 1.5) + 8
 
 
 def pair_list(pos, box, radius: float, **kw):

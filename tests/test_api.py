@@ -69,6 +69,34 @@ def test_explicit_k_cap_overflow_raises():
         mdnl.neighbor_list(pos, box, 2.8, k_cap=4)
 
 
+def test_empty_input():
+    idx, cnt = mdnl.neighbor_list(jnp.zeros((0, 3)), 10.0, 2.8)
+    assert idx.shape == (0, 8) and cnt.shape == (0,)
+    i, j = mdnl.pair_list(jnp.zeros((0, 3)), 10.0, 2.8)
+    assert i.size == 0 and j.size == 0
+
+
+def test_explicit_k_cap_survives_cell_table_growth():
+    """A generous explicit k_cap must not raise just because the INTERNAL
+    cell-table estimate overflowed on clustered input (the table grows;
+    only a true row overflow is the caller's k_cap contract violation)."""
+    n = 512
+    box = Box(L=20.0)
+    pos = jnp.concatenate([
+        10.0 + 0.8 * jax.random.uniform(jax.random.PRNGKey(5),
+                                        (n // 2, 3), jnp.float32),
+        jax.random.uniform(jax.random.PRNGKey(6), (n - n // 2, 3),
+                           jnp.float32, 0.0, box.L),
+    ])
+    idx, cnt = mdnl.neighbor_list(pos, box, 2.8, half=True, k_cap=320)
+    assert int(jnp.max(cnt)) <= 320
+    rows = np.repeat(np.arange(n)[:, None], idx.shape[1], 1)
+    keep = np.asarray(idx) < n
+    i, j = rows[keep], np.asarray(idx)[keep]
+    got = set(zip(np.minimum(i, j).tolist(), np.maximum(i, j).tolist()))
+    assert got == _oracle_pairs(pos, box, 2.8, k_cap=320)
+
+
 def test_auto_capacity_grows_on_cluster():
     """An adversarial dense cluster overflows the density-based estimate;
     the default path must grow and return complete lists."""
