@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--dt", type=float, default=None)
     ap.add_argument("--temperature", type=float, default=None)
+    ap.add_argument("--mesh-devices", type=int, default=None,
+                    help="slab count for the DD engines (c5 preset: 8; "
+                    "1 = self-halo mode on a single chip)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "xla", "dense", "slab", "dense_slab"])
@@ -52,7 +55,8 @@ def main(argv=None) -> int:
 
     logger = JsonLogger()
     cfg = PRESETS[args.preset]
-    over = {k: getattr(args, k) for k in ("n", "steps", "dt", "temperature")
+    over = {k: getattr(args, k)
+            for k in ("n", "steps", "dt", "temperature", "mesh_devices")
             if getattr(args, k) is not None}
     if over:
         cfg = dataclasses.replace(cfg, **over)
