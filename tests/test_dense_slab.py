@@ -32,6 +32,33 @@ def _single_positions(key, steps):
     return sim.to_system(carry)
 
 
+def test_slab_keys_unwrapped_owns_top_layer():
+    """P=1 geometry (nz == mc_z): the ring-wrapped key maps the TOP owned
+    layer to s=0 (left emigrant — it would be dropped); the unwrapped
+    variant keys every layer as owned. This is the correctness pivot of
+    the self-halo mode (slab_keys docstring)."""
+    from md_neighbor_list_tpu.ops.slab_kernels import SlabSpec, slab_keys
+
+    spec = SlabSpec(mc=4, nz=4, mc_z=4, cap=8, L=8.0,
+                    cell_size=2.0, cell_z=2.0)
+    pos = jnp.array([[0.5], [0.5], [7.5]], jnp.float32)  # top z layer
+    valid = jnp.array([True])
+    z0 = jnp.int32(0)
+    owned_lo, owned_hi = spec.mc**2, spec.mc**2 * (spec.nz + 1)
+
+    k_wrap = int(slab_keys(pos, valid, spec, z0)[0])
+    assert k_wrap < owned_lo  # aliased to left-emigrant range: dropped
+
+    k_flat = int(slab_keys(pos, valid, spec, z0, wrap=False)[0])
+    assert owned_lo <= k_flat < owned_hi  # owned, top layer
+
+    # every layer keys owned under wrap=False
+    for iz in range(4):
+        p = jnp.array([[0.5], [0.5], [2.0 * iz + 1.0]], jnp.float32)
+        kf = int(slab_keys(p, valid, spec, z0, wrap=False)[0])
+        assert owned_lo + iz * spec.mc**2 <= kf < owned_lo + (iz + 1) * spec.mc**2
+
+
 def test_dense_dd_p1_self_halo_matches_single_chip():
     """P=1 self-halo mode: the FULL distributed program (shard_map,
     self-ppermute halos, rebuild vote, unwrapped migration keys) on one
