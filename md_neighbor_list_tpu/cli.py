@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["auto", "xla", "dense", "slab", "dense_slab"])
     ap.add_argument("--check-parity", action="store_true",
                     help="pair-count + force parity vs the O(N^2) oracle")
+    ap.add_argument("--compare", action="store_true",
+                    help="reference-driver mode (SURVEY.md §5.1): run the "
+                    "xla AND dense engines on one initial state, "
+                    "cross-check each engine's own pair count and forces, "
+                    "time both")
     ap.add_argument("--save", default=None, help="checkpoint path (.npz)")
     ap.add_argument("--resume", default=None, help="resume from checkpoint")
     return ap
@@ -91,6 +96,8 @@ def main(argv=None) -> int:
                steps=cfg.steps, device=str(jax.devices()[0]))
 
     key = jax.random.PRNGKey(args.seed)
+    if args.compare:
+        return _compare(cfg, key, args.check_parity, logger)
     t0 = time.time()
 
     if engine in ("slab", "dense_slab"):
@@ -169,6 +176,82 @@ def main(argv=None) -> int:
         + ("" if parity_ok is None else f" parity={'OK' if parity_ok else 'FAIL'}")
     )
     return 0 if (parity_ok is None or parity_ok) else 1
+
+
+def _compare(cfg, key, check_oracle: bool, logger) -> int:
+    """Reference-driver mode (SURVEY.md §5.1): the reference's main() runs
+    EVERY list-construction variant on one initial state, times each, and
+    cross-checks their pair lists against each other (and brute force).
+    Here the variants are the two single-chip engines — each reports its
+    OWN artifact's pair count and step-0 forces; forces are compared in
+    global pid order within the fp32 gate, pair counts exactly."""
+    import jax.numpy as jnp
+
+    from md_neighbor_list_tpu.core.system import init_lattice
+    from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+    from md_neighbor_list_tpu.models.lj_nve import Simulator
+
+    system0, _ = init_lattice(cfg.n, cfg.rho, key, cfg.temperature)
+    rows = []
+
+    # --- xla engine: padded-row artifact --------------------------------
+    sim_x = Simulator(cfg)
+    t0 = time.time()
+    cx = sim_x.build(system0)
+    hits = int(np.asarray(jnp.sum(cx.nbr.idx < cfg.n)))
+    pairs_x = hits if cfg.half_list else hits // 2
+    pid_x = np.asarray(cx.system.pid)
+    f_x = np.empty((cfg.n, 3), np.float32)
+    f_x[pid_x] = np.asarray(cx.system.force)
+    t1 = time.time()
+    cx = sim_x.run(cx, cfg.steps)
+    ke, pe = sim_x.energies(cx)
+    el_x = time.time() - t1
+    rows.append(("xla", pairs_x, el_x,
+                 int(np.asarray(cx.nbr.n_rebuilds)), time.time() - t0))
+
+    # --- dense engine: cluster-bitmask artifact -------------------------
+    sim_d = DenseSimulator(cfg)
+    t0 = time.time()
+    cd = sim_d.build(system0)
+    _, counts, _, total = sim_d._rebuild_and_lists(cd.state)
+    pairs_d = int(np.asarray(total))
+    _, _, f_d = sim_d.to_system(cd)
+    t1 = time.time()
+    cd = sim_d.run(cd, cfg.steps)
+    ke, pe = sim_d.energies(cd)
+    el_d = time.time() - t1
+    rows.append(("dense", pairs_d, el_d,
+                 int(np.asarray(cd.n_rebuilds)), time.time() - t0))
+
+    scale = max(float(np.abs(f_x).max()), 1.0)
+    ferr = float(np.abs(f_d - f_x).max())
+    pairs_ok = pairs_x == pairs_d
+    force_ok = ferr <= 2e-4 * scale
+    ok = pairs_ok and force_ok
+
+    oracle_pairs = None
+    if check_oracle:
+        from md_neighbor_list_tpu.core.box import Box
+        from md_neighbor_list_tpu.ops import oracle
+
+        box = Box.from_density(cfg.n, cfg.rho)
+        oracle_pairs = int(oracle.pair_count(system0.pos, box, cfg.rs))
+        ok &= pairs_x == oracle_pairs
+
+    logger.log("compare", pairs={r[0]: r[1] for r in rows},
+               pairs_oracle=oracle_pairs, max_cross_force_err=ferr,
+               force_scale=scale, ok=ok)
+    print(f"{'engine':<8} {'pairs':>12} {'steps/s':>9} "
+          f"{'rebuilds':>8} {'total_s':>8}")
+    for name, pairs, el, reb, tot in rows:
+        print(f"{name:<8} {pairs:>12} {cfg.steps / max(el, 1e-9):>9.2f} "
+              f"{reb:>8} {tot:>8.1f}")
+    print(f"cross-check: pairs {'==' if pairs_ok else '!='}"
+          + (f" (oracle {oracle_pairs})" if oracle_pairs is not None else "")
+          + f", max|dF| {ferr:.2e} vs 2e-4*scale="
+          f"{2e-4 * scale:.2e} -> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
 
 
 def _check_parity(cfg, system, logger) -> bool:
