@@ -95,3 +95,21 @@ def test_cli_smoke(tmp_path):
         cwd="/root/repo",
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
+
+
+def test_cli_compare_mode(tmp_path):
+    """Reference-driver mode (SURVEY.md §5.1): both engines on one initial
+    state, each engine's OWN pair artifact cross-checked (and vs oracle)."""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    out = subprocess.run(
+        [sys.executable, "-m", "md_neighbor_list_tpu",
+         "--preset", "c2_cell", "--n", "4096", "--steps", "5",
+         "--compare", "--check-parity"],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "-> OK" in out.stdout
+    assert "xla" in out.stdout and "dense" in out.stdout
