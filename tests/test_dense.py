@@ -367,3 +367,41 @@ def test_expand_kernel_odd_rows_grouped():
             np.asarray(got.pos[i])[vm], np.asarray(want.pos[i])[vm])
         np.testing.assert_array_equal(
             np.asarray(got.vel[i])[vm], np.asarray(want.vel[i])[vm])
+
+
+@pytest.mark.parametrize("n,rho,cap", [(700, 1.0, 48), (1800, 1.0, 48),
+                                       (400, 0.6, 40)])
+def test_minimum_grid_geometries_oracle_exact(n, rho, cap):
+    """mc=3 is the smallest valid 27-sweep grid (every ±1 neighbor cell is
+    distinct only from mc>=3 up); mc=3/4 stress double-wrap adjacency —
+    each cell's 27-neighborhood covers the whole box, every roll wraps.
+    Off-lattice states; pair artifact must stay oracle-exact."""
+    cfg = MDConfig(n=n, rho=rho, rc=2.5, skin=0.3, dt=0.001,
+                   temperature=1.0)
+    sim = DenseSimulator(cfg, cap=cap, kernel_impl="jnp")
+    assert sim.spec.mc in (3, 4)
+    c = sim.run(sim.init(jax.random.PRNGKey(0)), 10, chunk=10)
+    new, counts, masks, total = sim._rebuild_and_lists(c.state)
+    pos, _ = to_packed(new, cfg.n, sim.spec.L)
+    want = int(oracle.pair_count(jnp.asarray(pos), sim.box, cfg.rs))
+    assert int(np.asarray(total)) == want
+
+
+def test_minimum_grid_interpret_kernels_oracle_exact():
+    """Same mc=3 geometry through the PALLAS kernel path (interpret mode):
+    counts, masks, popcount — the hardware twin of this gate runs in
+    tools (mc=3 probe; round 3)."""
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    cfg = MDConfig(n=700, rho=1.0, rc=2.5, skin=0.3, dt=0.001,
+                   temperature=1.0)
+    sim = DenseSimulator(cfg, cap=48, kernel_impl="interpret")
+    assert sim.spec.mc == 3
+    c = sim.init(jax.random.PRNGKey(0))
+    new, counts, masks, total = sim._rebuild_and_lists(c.state)
+    pop = pallas_force.mask_slot_counts(masks, sim.spec.cap)
+    vm = new.valid()
+    assert bool(jnp.all(jnp.where(vm, pop == counts, True)))
+    pos, _ = to_packed(new, cfg.n, sim.spec.L)
+    want = int(oracle.pair_count(jnp.asarray(pos), sim.box, cfg.rs))
+    assert int(np.asarray(total)) == want
