@@ -42,8 +42,10 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
     """Fixed-capacity padded neighbor lists for arbitrary positions.
 
     Args:
-      pos:    (N, 3) float32 positions (wrapped or not — min-image math
-              handles either; see core/box.py).
+      pos:    (N, 3) float32 positions; wrapped into [0, L) internally
+              (binning clips out-of-box coordinates into boundary cells,
+              so unwrapped input MUST be wrapped before cell assignment —
+              min-image distance math alone does not bin correctly).
       box:    periodic cube side length L, or a ``Box``.
       radius: search radius (e.g. rc + skin).
       half:   True → Newton-3 half lists: each unordered pair appears in
@@ -62,9 +64,9 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
     particle i in the caller's order, padded with sentinel N; ``cnt`` (N,)
     int32 true neighbor counts.
     """
-    pos = jnp.asarray(pos, jnp.float32)
-    n = int(pos.shape[0])
     box = _as_box(box)
+    pos = box.wrap(jnp.asarray(pos, jnp.float32))
+    n = int(pos.shape[0])
     grid = make_grid(box, radius)
     if n == 0:
         k = k_cap if k_cap is not None else 8

@@ -110,7 +110,14 @@ def main(argv=None) -> int:
             from md_neighbor_list_tpu.parallel.slab import SlabSimulator
 
             sim = SlabSimulator(cfg)
-        state = sim.init(key)
+        if args.resume:
+            from md_neighbor_list_tpu.utils.checkpoint import load
+
+            system0, start_step = load(args.resume)
+            state = sim.build(system0)
+            logger.log("resumed", path=args.resume, step=start_step)
+        else:
+            state = sim.init(key)
         ke0, pe0 = sim.energies(state)
         t1 = time.time()
         state = sim.run(state, cfg.steps)

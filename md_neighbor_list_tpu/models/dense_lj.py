@@ -221,7 +221,13 @@ class DenseSimulator:
 
     def build(self, system: System) -> DenseCarry:
         while True:
-            state = from_packed(system.pos, system.vel, system.pid, self.spec)
+            try:
+                state = from_packed(system.pos, system.vel, system.pid,
+                                    self.spec)
+            except ValueError:  # N > total dense slots: grow cap + retry
+                self.cap = grow_cap(self.cap)
+                self._compile()
+                continue
             carry = self._initial_build(state)
             if not bool(np.asarray(carry.overflow)):
                 return carry

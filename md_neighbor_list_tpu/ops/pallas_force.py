@@ -56,20 +56,40 @@ def make_windows(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     """(R, 3, mc, 3cap) candidate windows: channels x, y, z; lane segments
     [dx=-1 | dx=0 | dx=+1] with x-periodic image shifts applied.
 
-    Slot validity is folded into GEOMETRY: every invalid slot is parked at a
-    far position, spaced 2*cell_size apart along the park line (all three
-    components share the value, so consecutive parked slots sit sqrt(3)*2*
-    cell apart — beyond every cutoff: no padding pair can ever hit, no two
-    parked slots coincide, so forces/counts on invalid rows are exactly
-    zero with no NaN hazard). This removes all validity-mask arithmetic
-    from the kernels: ~4 fewer VPU ops per pair eval and 25% less fetch on
-    a VPU-peak-bound kernel."""
+    Slot validity is folded into GEOMETRY: every invalid slot is parked at
+    a far position so no padding pair can ever hit and forces/counts on
+    invalid rows are exactly zero with no NaN hazard. This removes all
+    validity-mask arithmetic from the kernels: ~4 fewer VPU ops per pair
+    eval and 25% less fetch on a VPU-peak-bound kernel.
+
+    The park is a 3-D LATTICE, not a 1-D line: the x channel separates
+    slots within a cell row ((x*cap + slot) * 2*cell), the y channel
+    separates cell rows (row * 2*cell), the z channel is constant. A
+    single park line (1e5 + global_slot * 2*cell — round 2's layout)
+    silently violates its own invariant at large slot counts: at N=8M
+    (14.3M slots) the line tops out near 8e7 where the f32 ulp (8)
+    exceeds the 5.6 spacing, so adjacent parked slots COLLIDE and emit
+    phantom hits between two EMPTY slots (r2=0 -> masked-out NaN forces,
+    phantom mask bits that crash ops/decode on invalid rows). Each
+    lattice axis spans only O(10^4), where the ulp is ~0.01, so spacings
+    are f32-exact at every supported shape; any two parked slots that
+    can meet in a window differ by >= 2*cell in the x or y channel, and
+    the kernels' +-L image shifts cannot alias a pair back under the
+    cutoff (wrapped pairs sit ~mc*cap lanes resp. ~mc^2 rows apart — an
+    alias would need a delta of mc/2)."""
     mc, cap, L = spec.mc, spec.cap, spec.L
-    slot_id = jnp.arange(spec.slots, dtype=jnp.float32).reshape(
-        spec.rows, mc, cap
-    )
-    park = 1.0e5 + slot_id * jnp.float32(2.0 * spec.cell_size)
-    w3 = jnp.where(valid_f32[None] > 0.5, pos4, park[None])  # (3, R, mc, cap)
+    step = jnp.float32(2.0 * spec.cell_size)
+    base = jnp.float32(1.0e5)
+    lane_id = (jnp.arange(mc, dtype=jnp.float32)[None, :, None] * cap
+               + jnp.arange(cap, dtype=jnp.float32)[None, None, :])
+    row_id = jnp.arange(spec.rows, dtype=jnp.float32)[:, None, None]
+    shape = (spec.rows, mc, cap)
+    park3 = jnp.stack([
+        jnp.broadcast_to(base + lane_id * step, shape),
+        jnp.broadcast_to(base + row_id * step, shape),
+        jnp.broadcast_to(base, shape),
+    ])
+    w3 = jnp.where(valid_f32[None] > 0.5, pos4, park3)  # (3, R, mc, cap)
 
     left = jnp.roll(w3, 1, axis=2)  # cell ix holds ix-1's data
     right = jnp.roll(w3, -1, axis=2)
@@ -628,10 +648,21 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
     One kernel pass emits both (one pass per offset row at _split_rows
     shapes); ~half the full sweep's pair evals."""
+    windows = make_windows(pos4, valid_f32, spec)
+    return lists_half_impl(windows, spec, (spec.mc, spec.mc),
+                           _win_specs_merged(spec), radius, True, interpret)
+
+
+def lists_half_impl(windows, spec, grid, specs, radius: float, zwrap: bool,
+                    interpret: bool):
+    """Shared list-emission body for the cube (grid (mc, mc), zwrap) and
+    slab (grid (nz, mc), ghost layer instead of z wrap) variants — ONE
+    place owns the split policy, word bookkeeping, mask concat order and
+    the (5, words, rows, mc, 3cap) artifact layout, so the two engines'
+    artifacts cannot drift apart. ``spec.rows`` must equal
+    ``grid[0] * mc`` (cube: mc^2; slab: nz * mc)."""
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
-    windows = make_windows(pos4, valid_f32, spec)
-    specs = _win_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
               if _split_rows(spec, kind="lists")
               else [(0, 1, 2, 3, 4)])
@@ -641,8 +672,8 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
         nm = len(ks) * words
         m, c = pl.pallas_call(
             functools.partial(_list_half_kernel, spec=spec, radius=radius,
-                              ks=ks),
-            grid=(mc, mc),
+                              zwrap=zwrap, ks=ks),
+            grid=grid,
             in_specs=[specs[k] for k in ks] + [specs[0]],
             out_specs=[
                 pl.BlockSpec((nm, 1, mc, 3 * cap),

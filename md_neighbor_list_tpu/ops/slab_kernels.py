@@ -35,8 +35,7 @@ from md_neighbor_list_tpu.ops import pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
 from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
                                                    _force_half_kernel,
-                                                   _list_half_kernel,
-                                                   make_windows, mask_words)
+                                                   make_windows)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,43 +168,13 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     """Slab variant of dense_lists_half: (counts, masks) over the owned
     rows, pairs attributed to the evaluating device (ghost-layer pairs to
     the lower slab) — global pairs = psum of sum(counts * valid). Masks
-    are slot-packed, matching dense_lists_half's format."""
-    mc, cap, nz = spec.mc, spec.cap, spec.nz
-    words = mask_words(cap)
+    are slot-packed, matching dense_lists_half's format (the emission body
+    is literally shared: pallas_force.lists_half_impl)."""
     windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
-    specs = _slab_win_specs_merged(spec)
-    groups = ([(k,) for k in range(5)]
-              if pallas_force._split_rows(spec, kind="lists")
-              else [(0, 1, 2, 3, 4)])
-    mask_parts = []
-    counts = None
-    for ks in groups:
-        nm = len(ks) * words
-        m, c = pl.pallas_call(
-            functools.partial(_list_half_kernel, spec=spec, radius=radius,
-                              zwrap=False, ks=ks),
-            grid=(nz, mc),
-            in_specs=[specs[k] for k in ks] + [specs[0]],
-            out_specs=[
-                pl.BlockSpec((nm, 1, mc, 3 * cap),
-                             lambda z, y: (0, z * mc + y, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nm, spec.rows, mc, 3 * cap),
-                                     jnp.int32),
-                jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
-            ],
-            interpret=interpret,
-        )(*([windows] * len(ks)), windows)
-        mask_parts.append(m)
-        counts = c if counts is None else counts + c
-    masks = (mask_parts[0] if len(mask_parts) == 1
-             else jnp.concatenate(mask_parts, axis=0))
-    masks = masks.reshape(5, words, spec.rows, mc, 3 * cap)
-    return counts.astype(jnp.int32), masks
+    return pallas_force.lists_half_impl(
+        windows, spec, (spec.nz, spec.mc), _slab_win_specs_merged(spec),
+        radius, False, interpret,
+    )
 
 
 def slab_keys(pos: jnp.ndarray, valid: jnp.ndarray, spec: SlabSpec,

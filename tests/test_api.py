@@ -69,6 +69,21 @@ def test_explicit_k_cap_overflow_raises():
         mdnl.neighbor_list(pos, box, 2.8, k_cap=4)
 
 
+def test_unwrapped_positions_bin_correctly():
+    """Out-of-box coordinates must be wrapped before binning — clipping
+    them into boundary cells silently drops neighbors (round-3 review):
+    the same physical configuration shifted by ±L must give the same
+    pair set."""
+    pos, box = _random_system(400, 1.0, 7)
+    rs = 2.8
+    want = _oracle_pairs(pos, box, rs)
+    shift = jnp.where(jnp.arange(400)[:, None] < 100, box.L, 0.0)
+    i, j = mdnl.pair_list(pos + shift, box, rs)
+    assert set(zip(i.tolist(), j.tolist())) == want
+    i, j = mdnl.pair_list(pos - shift, box, rs)
+    assert set(zip(i.tolist(), j.tolist())) == want
+
+
 def test_empty_input():
     idx, cnt = mdnl.neighbor_list(jnp.zeros((0, 3)), 10.0, 2.8)
     assert idx.shape == (0, 8) and cnt.shape == (0,)

@@ -113,3 +113,31 @@ def test_cli_compare_mode(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "-> OK" in out.stdout
     assert "xla" in out.stdout and "dense" in out.stdout
+
+
+def test_cli_resume_slab_engine(tmp_path):
+    """--resume must feed the checkpoint into the DD engines too (it was
+    silently ignored for them before round 3): the resumed run logs a
+    'resumed' event and starts from the saved system."""
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    out = subprocess.run(
+        [sys.executable, "-m", "md_neighbor_list_tpu",
+         "--preset", "c3_verlet", "--n", "4096", "--steps", "2",
+         "--engine", "dense", "--save", str(tmp_path / "s.npz")],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    out2 = subprocess.run(
+        [sys.executable, "-m", "md_neighbor_list_tpu",
+         "--preset", "c3_verlet", "--n", "4096", "--steps", "2",
+         "--engine", "dense_slab", "--mesh-devices", "2",
+         "--resume", str(tmp_path / "s.npz")],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd="/root/repo",
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert '"event": "resumed"' in out2.stderr + out2.stdout

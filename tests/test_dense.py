@@ -369,6 +369,19 @@ def test_expand_kernel_odd_rows_grouped():
             np.asarray(got.vel[i])[vm], np.asarray(want.vel[i])[vm])
 
 
+def test_build_grows_when_particles_exceed_total_slots():
+    """High density can make N exceed mc^3*cap before any kernel runs;
+    build() must catch the from_packed slot error and take the cap-growth
+    path (round-3 review) instead of crashing."""
+    cfg = MDConfig(n=3000, rho=2.0, rc=2.5, skin=0.3, dt=0.001,
+                   temperature=0.5)
+    sim = DenseSimulator(cfg, cap=16, kernel_impl="jnp")
+    assert sim.spec.slots < cfg.n  # the adversarial precondition
+    c = sim.init(jax.random.PRNGKey(0))
+    assert sim.spec.slots >= cfg.n and sim.cap > 16
+    assert int(np.asarray(jnp.sum(c.state.valid()))) == cfg.n
+
+
 @pytest.mark.parametrize("n,rho,cap", [(700, 1.0, 48), (1800, 1.0, 48),
                                        (400, 0.6, 40)])
 def test_minimum_grid_geometries_oracle_exact(n, rho, cap):
@@ -405,3 +418,44 @@ def test_minimum_grid_interpret_kernels_oracle_exact():
     pos, _ = to_packed(new, cfg.n, sim.spec.L)
     want = int(oracle.pair_count(jnp.asarray(pos), sim.box, cfg.rs))
     assert int(np.asarray(total)) == want
+
+
+def test_park_lattice_f32_invariant_at_8m_shape():
+    """Parked-slot geometry must keep every co-window pair > rs apart IN
+    f32 at the largest supported shape (N=8M: mc=71, cap=40). The round-2
+    1-D park line (1e5 + global_slot * 2*cell) violated this from slot
+    ~5.9M up (f32 ulp > spacing), emitting phantom pairs between EMPTY
+    slots; the 3-D park lattice keeps each axis in an ulp-safe range."""
+    mc, cap = 71, 40
+    rows = mc * mc
+    cell = np.float32(200.0 / mc)
+    step = np.float32(2.0) * cell
+    base = np.float32(1.0e5)
+    rs = np.float32(2.8)
+
+    # the fixed layout: per-axis lines, each O(1e4) span
+    lane = base + np.arange(mc * cap, dtype=np.float32) * step
+    row = base + np.arange(rows, dtype=np.float32) * step
+    assert np.diff(lane).min() > rs
+    assert np.diff(row).min() > rs
+
+    # the old 1-D line really collided at this shape (documents the bug)
+    old = base + np.arange(rows * mc * cap, dtype=np.float32) * step
+    assert (np.diff(old) == 0.0).sum() > 0
+
+
+def test_all_invalid_slots_emit_nothing():
+    """A state with NO valid particles must produce zero counts and zero
+    mask bits — parked slots never pair with each other."""
+    from md_neighbor_list_tpu.ops import pallas_force
+
+    _, spec, box, pos = _dense_state(key=2)
+    zero_valid = jnp.zeros((spec.rows, spec.mc, spec.cap), jnp.float32)
+    st, _, _, _ = _dense_state(key=2)
+    cnt = pallas_force.dense_counts_half(st.pos, zero_valid, spec, 2.8,
+                                         True)
+    assert int(jnp.sum(cnt)) == 0
+    c_l, masks = pallas_force.dense_lists_half(st.pos, zero_valid, spec,
+                                               2.8, True)
+    assert int(jnp.sum(c_l)) == 0
+    assert int(jnp.sum(jnp.abs(masks))) == 0

@@ -254,6 +254,20 @@ def main():
         bool(jnp.all(jnp.where(carry.state.valid(), cl == cr, True))),
     )
 
+    # Phantom-bit gate (round-3 park-lattice fix): invalid slots must emit
+    # ZERO mask bits even at slot counts where the round-2 1-D park line
+    # collided in f32 (N=8M: 718k colliding parked pairs -> phantom hits
+    # between empty slots that crashed ops/decode).
+    c_big, m_big = pallas_force.dense_lists_half(
+        carry.state.pos, carry.state.valid().astype(jnp.float32),
+        sim.spec, cfg.rs, False)
+    pop_big = pallas_force.mask_slot_counts(m_big, sim.spec.cap)
+    ghost_bits = int(jnp.sum(jnp.where(carry.state.valid(), 0, pop_big)))
+    ghost_cnt = int(jnp.sum(jnp.where(carry.state.valid(), 0, c_big)))
+    ok &= gate(f"no phantom mask bits on invalid slots at N={args.n}",
+               ghost_bits == 0 and ghost_cnt == 0,
+               f"({ghost_bits} bits, {ghost_cnt} counts)")
+
     # Subsampled force parity at scale (VERDICT r2 item 5): at N=8M the
     # box is L=200 and f32 coordinates near x~L carry ~L*2^-23 ~ 2.4e-5
     # absolute resolution — this gate checks the engine's forces AT THOSE
