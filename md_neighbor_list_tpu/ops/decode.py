@@ -13,10 +13,16 @@ lists"; SURVEY.md §3 R5/R8). This module is the documented bridge:
     i, j = decode_pairs(masks, state.pid, spec)          # pair list
     idx, cnt = masks_to_padded(masks, state.pid, spec)    # (N, K) rows
 
-Both decoders are host-side numpy: decoding is an O(pairs) irregular
-expansion, exactly the access pattern the TPU engine exists to avoid, and
-its consumers (I/O, analysis, interop with CPU MD tooling) are host-side
-anyway. The mask format itself is documented in ``dense_lists_half``.
+Both decoders are host-side: decoding is an O(pairs) irregular expansion,
+exactly the access pattern the TPU engine exists to avoid, and its
+consumers (I/O, analysis, interop with CPU MD tooling) are host-side
+anyway. The default implementation is the native C++ streaming walker
+(``native/decode.cpp`` via ctypes, built on demand — single popcount pass,
+zero index intermediates; at N=8M the numpy path needs ~5 GB of nonzero
+intermediates and minutes where the native walk needs none and seconds),
+with the pure-numpy path as the always-available fallback and parity
+reference (``impl="numpy"``). The mask format itself is documented in
+``dense_lists_half``.
 
 Bit semantics (the single source of truth, mirrored from
 ``pallas_force._list_half_kernel``): bit ``b`` of word ``w`` at index
@@ -63,7 +69,39 @@ def _decode_slots(masks, spec):
                 yield own_base[sel] + MASK_BITS * w + b, partner[sel]
 
 
-def decode_pairs(masks, pid, spec):
+def _decode_pid_pairs(masks, pid, spec, impl: str = "auto"):
+    """(own pid, partner pid) arrays for every set bit, preserving the
+    kernel's Newton-3 attribution. ``impl``: "auto" (native C++ walker,
+    numpy on toolchain failure), "native" (raise if unavailable), or
+    "numpy" (the parity-reference path). Raises ValueError if a set bit
+    points at an empty slot."""
+    if impl not in ("auto", "native", "numpy"):
+        raise ValueError(f"impl={impl!r}")
+    if impl in ("auto", "native"):
+        from md_neighbor_list_tpu.utils import native
+
+        try:
+            return native.decode_half(masks, pid, spec.mc, spec.cap)
+        except native.NativeUnavailable:
+            if impl == "native":
+                raise
+    pid = np.asarray(pid)
+    flat = pid.reshape(-1)
+    owns, partners = [], []
+    for own, partner in _decode_slots(masks, spec):
+        pi, pj = flat[own], flat[partner]
+        if (pi < 0).any() or (pj < 0).any():
+            raise ValueError("mask bit points at an empty slot — masks and "
+                             "pid are from different states")
+        owns.append(pi)
+        partners.append(pj)
+    if not owns:
+        z = np.zeros((0,), np.int32)
+        return z, z.copy()
+    return np.concatenate(owns), np.concatenate(partners)
+
+
+def decode_pairs(masks, pid, spec, impl: str = "auto"):
     """Decode the packed cluster bitmasks to an explicit half pair list.
 
     Args:
@@ -71,36 +109,29 @@ def decode_pairs(masks, pid, spec):
       pid:   (R, mc, cap) i32 particle ids of the SAME dense state the
              masks were built from (slot -> global particle id).
       spec:  the DenseSpec of that state.
+      impl:  "auto" (native C++ walker with numpy fallback), "native",
+             or "numpy".
 
     Returns (i, j): int32 arrays of global particle ids with i < j
     elementwise, each unordered pair exactly once (Newton-3 half list —
     the total length equals the engine's pair count).
     """
-    pid = np.asarray(pid)
-    flat = pid.reshape(-1)
-    ii, jj = [], []
-    for own, partner in _decode_slots(masks, spec):
-        pi, pj = flat[own], flat[partner]
-        if (pi < 0).any() or (pj < 0).any():
-            raise ValueError("mask bit points at an empty slot — masks and "
-                             "pid are from different states")
-        ii.append(np.minimum(pi, pj))
-        jj.append(np.maximum(pi, pj))
-    if not ii:
-        z = np.zeros((0,), np.int32)
-        return z, z.copy()
-    return (np.concatenate(ii).astype(np.int32),
-            np.concatenate(jj).astype(np.int32))
+    own, partner = _decode_pid_pairs(masks, pid, spec, impl)
+    return (np.minimum(own, partner).astype(np.int32),
+            np.maximum(own, partner).astype(np.int32))
 
 
 def masks_to_padded(masks, pid, spec, n: int | None = None,
-                    k_cap: int | None = None):
+                    k_cap: int | None = None, impl: str = "auto"):
     """Convert the packed masks to the reference's deliverable shape:
     fixed-capacity padded half-neighbor rows (BASELINE.json:5).
 
     Args:
       masks, pid, spec: as in ``decode_pairs``.
-      n:     particle count (default: number of valid slots).
+      n:     particle count / row count (default: ``max(pid) + 1`` — NOT
+             the number of valid slots, which undercounts whenever the
+             state's pids are not the dense range 0..n-1, e.g. a slab's
+             local shard).
       k_cap: row capacity K (default: max per-particle half count, rounded
              up to a multiple of 8).
 
@@ -111,16 +142,16 @@ def masks_to_padded(masks, pid, spec, n: int | None = None,
     full symmetric neighborhood; symmetrize by also scanning j rows, or
     use the pair list from ``decode_pairs``.
     """
-    pid = np.asarray(pid)
-    flat = pid.reshape(-1)
     if n is None:
-        n = int((flat >= 0).sum())
-    owns, partners = [], []
-    for own, partner in _decode_slots(masks, spec):
-        owns.append(flat[own])
-        partners.append(flat[partner])
-    pi = (np.concatenate(owns) if owns else np.zeros((0,), np.int64))
-    pj = (np.concatenate(partners) if partners else np.zeros((0,), np.int64))
+        n = max(int(np.asarray(pid).max()) + 1, 0)
+    pi, pj = _decode_pid_pairs(masks, pid, spec, impl)
+    pi = pi.astype(np.int64)
+    pj = pj.astype(np.int64)
+    if pi.size and max(int(pi.max()), int(pj.max())) >= n:
+        raise ValueError(
+            f"n={n} is smaller than max decoded pid "
+            f"{max(int(pi.max()), int(pj.max()))}"
+        )
     cnt = np.bincount(pi, minlength=n).astype(np.int32)
     max_cnt = int(cnt.max()) if cnt.size else 0  # .max() raises on n == 0
     if k_cap is None:
