@@ -44,6 +44,7 @@ STAGES = {
     "validate8m": ("tools/validate_tpu.py",
                    ["--n", "8000000", "--steps", "500"]),
     "slabcost": ("tools/tpu_slab_cost.py", []),
+    "decode8m": ("tools/tpu_decode_8m.py", []),
     "occupancy": ("tools/tpu_occupancy_probe.py", []),
 }
 
