@@ -60,9 +60,18 @@ def main():
             runpy.run_path(f"{ROOT}/{script}", run_name="__main__")
         except SystemExit as e:
             print(f"stage {name}: exit {e.code}", flush=True)
-        except Exception:
+        except Exception as e:
             traceback.print_exc()
             print(f"stage {name}: FAILED", flush=True)
+            if "Unable to initialize backend" in str(e):
+                # The relay refused the device grant (a ~25 min blocked
+                # wait before surfacing). Every later stage AND the
+                # live-array purge below would re-block on the same
+                # refusal — bail out so the caller's retry loop can
+                # sleep and relaunch instead.
+                print("backend unavailable: skipping remaining stages",
+                      flush=True)
+                return
             # A stage that died on RESOURCE_EXHAUSTED leaves its arrays
             # and jit caches holding HBM, poisoning every later stage
             # (observed: one N=8M OOM cascaded into scalar-allocation
