@@ -274,7 +274,23 @@ def main() -> None:
     if args.n is not None:
         cfg = dataclasses.replace(cfg, n=args.n)
 
-    dev = jax.devices()[0]
+    # The axon relay sometimes REFUSES the device grant ("Unable to
+    # initialize backend ... UNAVAILABLE", surfacing after a ~20-25 min
+    # blocked wait) and recovers on a ~1 h scale. jax re-attempts backend
+    # init on the next jax.devices() call in-process, so a bounded retry
+    # turns a certain missing-benchmark into a likely late one.
+    dev = None
+    for attempt in range(3):
+        try:
+            dev = jax.devices()[0]
+            break
+        except RuntimeError as e:
+            if ("Unable to initialize backend" not in str(e)
+                    or attempt == 2):
+                raise
+            log(f"device grant refused (attempt {attempt + 1}/3); "
+                "retrying in 300 s")
+            time.sleep(300)
     log(f"device: {dev} | engine: {args.engine} | config: {cfg}")
 
     if args.profile:
