@@ -268,17 +268,13 @@ def main() -> None:
                     help="directory for a jax.profiler trace of the step loop")
     args = ap.parse_args()
 
-    from md_neighbor_list_tpu.core.config import PRESETS
-
-    cfg = PRESETS[args.preset]
-    if args.n is not None:
-        cfg = dataclasses.replace(cfg, n=args.n)
-
     # The axon relay sometimes REFUSES the device grant ("Unable to
     # initialize backend ... UNAVAILABLE", surfacing after a ~20-25 min
     # blocked wait) and recovers on a ~1 h scale. jax re-attempts backend
     # init on the next jax.devices() call in-process, so a bounded retry
-    # turns a certain missing-benchmark into a likely late one.
+    # turns a certain missing-benchmark into a likely late one. This runs
+    # BEFORE the engine import so no import-time constant can touch the
+    # device first.
     dev = None
     for attempt in range(3):
         try:
@@ -291,6 +287,12 @@ def main() -> None:
             log(f"device grant refused (attempt {attempt + 1}/3); "
                 "retrying in 300 s")
             time.sleep(300)
+
+    from md_neighbor_list_tpu.core.config import PRESETS
+
+    cfg = PRESETS[args.preset]
+    if args.n is not None:
+        cfg = dataclasses.replace(cfg, n=args.n)
     log(f"device: {dev} | engine: {args.engine} | config: {cfg}")
 
     if args.profile:

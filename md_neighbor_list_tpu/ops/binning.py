@@ -23,6 +23,7 @@ import dataclasses
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from md_neighbor_list_tpu.core.box import Box
@@ -171,7 +172,10 @@ def bin_particles(pos: jnp.ndarray, grid: CellGrid, cell_cap: int,
 
 
 # Static 27-neighborhood offset table, shared by every sweep implementation.
-NEIGHBOR_OFFSETS = jnp.array(
+# numpy on purpose: a module-level jnp.array would initialize the backend
+# (and pay the axon relay's device grant) at IMPORT time; as numpy it is
+# committed to the device only where it is traced into a jitted sweep.
+NEIGHBOR_OFFSETS = np.array(
     [[dx, dy, dz] for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )  # (27, 3)
