@@ -276,6 +276,7 @@ def main() -> None:
     # BEFORE the engine import so no import-time constant can touch the
     # device first.
     dev = None
+    t_grant = time.time()
     for attempt in range(3):
         try:
             dev = jax.devices()[0]
@@ -287,6 +288,9 @@ def main() -> None:
             log(f"device grant refused (attempt {attempt + 1}/3); "
                 "retrying in 300 s")
             time.sleep(300)
+
+    log(f"device grant: {time.time() - t_grant:.1f}s (relay stall, not "
+        "compile — BASELINE.md 'Compile time' section)")
 
     from md_neighbor_list_tpu.core.config import PRESETS
 

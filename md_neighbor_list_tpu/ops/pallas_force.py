@@ -305,22 +305,50 @@ def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
 
 
 def _split_rows(spec, want_pe: bool = False, kind: str = "force") -> bool:
-    """True when the 5-row merged kernel would blow the 16 MB scoped-VMEM
-    stack and each offset row must go in its OWN pallas_call (hard
-    temporary isolation — Mosaic's scheduler overlaps the unrolled rows'
-    temporaries regardless of source-level structure: an x-chunked variant
-    of the merged kernel still demanded 29.4 MB at N=8M shapes). Measured
-    live-set model, in (mc, cap, 3cap) f32 intermediates:
-      force          ~16 live (21.9 MB demanded at mc=71, cap=40 — the
-                     N=8M OOM; fits at mc=35)
-      force+want_pe  ~29 (19.4 MB demanded at mc=35, cap=40)
-      counts/lists   <= 10: their merged forms COMPILE AND WIN at the
-                     N=8M shape (mc=71, cap=40: counts 62 vs 150 ms
-                     split, lists 150 vs 163 — tools/tpu_split_probe.py;
-                     ADVICE r2 #4: round 2 reused the force constant and
-                     paid the 5-launch split where merged fit)."""
+    """True when the 5-row merged COUNTS/LISTS kernel would blow the
+    16 MB scoped-VMEM stack and each offset row must go in its OWN
+    pallas_call (hard temporary isolation — Mosaic's scheduler overlaps
+    the unrolled rows' temporaries regardless of source-level structure:
+    an x-chunked variant of the merged kernel still demanded 29.4 MB at
+    N=8M shapes). Measured live-set model, in (mc, cap, 3cap) f32
+    intermediates: counts/lists <= 10 — their merged forms COMPILE AND
+    WIN at the N=8M shape (mc=71, cap=40: counts 62 vs 150 ms split,
+    lists 150 vs 163 — tools/tpu_split_probe.py; ADVICE r2 #4: round 2
+    reused the force constant and paid the 5-launch split where merged
+    fit). The FORCE kernels use the finer-grained ``_row_groups`` policy
+    instead (``want_pe``/"force" kept for compatibility with existing
+    monkeypatch-based tests)."""
     live = {"force": 29 if want_pe else 16, "counts": 10, "lists": 10}[kind]
     return live * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
+
+
+# Measured live-temporary model for force-kernel row GROUPS, in
+# (mc, cap, 3cap) f32 intermediates (tools/tpu_split_probe.py --force,
+# real-chip Mosaic at mc=71/cap=40 and mc=35/cap=40): a group of g offset
+# rows keeps the 3-component accumulator plus ~2 rows of per-row
+# temporaries live per unrolled row. Grouping exists because each
+# pallas_call pays ~2 us of fixed cost PER PROGRAM: the 5-singleton split
+# at N=8M runs 5*mc^2 programs — ~40 ms of pure launch overhead that a
+# 2-call grouping halves while keeping each call's live set under the
+# scoped-VMEM budget.
+_FORCE_LIVE = {1: 8, 2: 10, 3: 13, 5: 16}
+_FORCE_LIVE_PE = {1: 10, 2: 14, 3: 19, 5: 29}
+
+
+def _row_groups(spec, want_pe: bool = False):
+    """Partition of the five half-sweep offset rows into pallas_call
+    groups: the largest group size whose modeled live set fits the 14 MB
+    scoped-VMEM budget (merged = one group of five; N=8M force shapes get
+    [(0,1,2), (3,4)] instead of round 2's five singleton calls)."""
+    unit = spec.mc * spec.cap * 3 * spec.cap * 4
+    live = _FORCE_LIVE_PE if want_pe else _FORCE_LIVE
+    budget = 14 << 20
+    for size, plan in ((5, [(0, 1, 2, 3, 4)]),
+                       (3, [(0, 1, 2), (3, 4)]),
+                       (2, [(0, 1), (2, 3), (4,)])):
+        if live[size] * unit <= budget:
+            return plan
+    return [(0,), (1,), (2,), (3,), (4,)]
 
 
 def _fold_rxn(r, mc: int, cap: int):
@@ -339,22 +367,21 @@ def _fold_rxn(r, mc: int, cap: int):
 
 def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
                        zwrap: bool = True, ks=(0, 1, 2, 3, 4)):
-    """Half-sweep Newton-3 LJ forces for the offset rows in ``ks``: each
+    """Half-sweep Newton-3 LJ forces for the offset rows in ``ks`` (any
+    subset of the five — one group of a ``_row_groups`` plan): each
     unordered pair is EVALUATED once (5/9 of the full sweep's work) and
     contributes to both partners.
 
-    Merged form (ks = all five, one program per cell row): output channels
-    0-2 hold the own row's force INCLUDING the (0,0) row's reaction (its
-    partner row is the own row, so it folds in-kernel); 3k..3k+2
-    (k = 1..4) the reaction on the (z+dz, y+dy) partner row, already
-    folded from window lanes to partner-cell x slots; channel 15 the
-    once-per-pair potential. Split form (one k per pallas_call, used when
-    _split_rows — N=8M shapes): channels 0-2 own partial, 3-5 reaction,
-    6 potential. Either way the caller re-homes reactions with (dz, dy)
+    Output channel layout, uniform across group sizes: channels 0-2 hold
+    the own row's force from this group's rows, INCLUDING the (0,0) row's
+    reaction when 0 is in ``ks`` (its partner row is the own row, so it
+    folds in-kernel); then 3 reaction channels per k != 0 in ``ks`` order
+    — the reaction on the (z+dz, y+dy) partner row, already folded from
+    window lanes to partner-cell x slots; the once-per-pair potential
+    last when ``want_pe``. The caller re-homes reactions with (dz, dy)
     rolls — regular XLA ops, no scatter (the TPU answer to the
     reference's Newton-3 scatter-add, SURVEY.md §9)."""
     n = len(ks)
-    merged = n == 5
     nbr_refs = refs[:n]
     own_ref = refs[n]
     out_ref = refs[n + 1]
@@ -405,43 +432,41 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
             acc = [a + p for a, p in zip(acc, [px, py, pz, u][: len(acc)])]
 
     own = [jnp.sum(a, axis=-1) for a in acc]  # fx, fy, fz (+ pe)
-    if merged:
-        for j, k in enumerate(ks):
-            if k == 0:
-                continue
-            out_ref[3 * k, 0] = -_fold_rxn(rxn_rows[j][0], mc, cap)
-            out_ref[3 * k + 1, 0] = -_fold_rxn(rxn_rows[j][1], mc, cap)
-            out_ref[3 * k + 2, 0] = -_fold_rxn(rxn_rows[j][2], mc, cap)
-        k0 = ks.index(0) if 0 in ks else None
+    ch = 3
+    for j, k in enumerate(ks):
+        if k == 0:
+            continue
+        out_ref[ch, 0] = -_fold_rxn(rxn_rows[j][0], mc, cap)
+        out_ref[ch + 1, 0] = -_fold_rxn(rxn_rows[j][1], mc, cap)
+        out_ref[ch + 2, 0] = -_fold_rxn(rxn_rows[j][2], mc, cap)
+        ch += 3
+    if 0 in ks:
+        k0 = ks.index(0)
         out_ref[0, 0] = own[0] - _fold_rxn(rxn_rows[k0][0], mc, cap)
         out_ref[1, 0] = own[1] - _fold_rxn(rxn_rows[k0][1], mc, cap)
         out_ref[2, 0] = own[2] - _fold_rxn(rxn_rows[k0][2], mc, cap)
-        if want_pe:
-            out_ref[15, 0] = own[3]
     else:
         out_ref[0, 0] = own[0]
         out_ref[1, 0] = own[1]
         out_ref[2, 0] = own[2]
-        out_ref[3, 0] = -_fold_rxn(rxn_rows[0][0], mc, cap)
-        out_ref[4, 0] = -_fold_rxn(rxn_rows[0][1], mc, cap)
-        out_ref[5, 0] = -_fold_rxn(rxn_rows[0][2], mc, cap)
-        if want_pe:
-            out_ref[6, 0] = own[3]
+    if want_pe:
+        out_ref[ch, 0] = own[3]
 
 
-def _call_force_k(windows, spec, rc, want_pe, interpret, zwrap, k,
-                  win_specs, grid, out_rows):
-    """One offset row's force pass as its own pallas_call (split form).
+def _call_force_group(windows, spec, rc, want_pe, interpret, zwrap, ks,
+                      win_specs, grid, out_rows):
+    """One row group's force pass as its own pallas_call (one group of a
+    ``_row_groups`` plan; the merged kernel is the single group of five).
     ``grid``/``out_rows`` come from the caller ((mc, mc)/spec.rows for the
     cube; (nz, mc)/owned rows for a slab whose windows carry the ghost
     layer)."""
     mc, cap = spec.mc, spec.cap
-    nch = 7 if want_pe else 6
+    nch = 3 + 3 * sum(1 for k in ks if k != 0) + (1 if want_pe else 0)
     return pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
-                          want_pe=want_pe, zwrap=zwrap, ks=(k,)),
+                          want_pe=want_pe, zwrap=zwrap, ks=tuple(ks)),
         grid=grid,
-        in_specs=[win_specs[k], win_specs[0]],
+        in_specs=[win_specs[k] for k in ks] + [win_specs[0]],
         out_specs=pl.BlockSpec(
             (nch, 1, mc, cap), lambda z, y: (0, z * mc + y, 0, 0),
             memory_space=pltpu.VMEM,
@@ -450,7 +475,7 @@ def _call_force_k(windows, spec, rc, want_pe, interpret, zwrap, k,
             (nch, out_rows, mc, cap), jnp.float32
         ),
         interpret=interpret,
-    )(windows, windows)
+    )(*([windows] * len(ks)), windows)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -461,55 +486,37 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     (BASELINE.json:9-10 "list reuse"/half lists realized on the dense
     layout). Returns (force (3, R, mc, cap), pe (R, mc, cap) | None).
 
+    Runs one pallas_call per ``_row_groups`` group (a single merged call
+    where the live set fits — every shape up to N=1M; grouped calls at
+    N=8M shapes). Reaction partials come back on per-offset output
+    channels, computed by row (z, y) FOR row (z+dz, y+dy) — a periodic
+    (dz, dy) roll re-homes them: regular XLA ops, ~0.2 ms of HBM traffic
+    at N=1M vs the ~1.8x kernel saving of the half sweep.
+
     Unlike ``dense_forces`` (full symmetric sweep), the per-slot PE here is
     attributed ONCE per pair to the lexicographically-lower slot: total
     PE = sum(pe * valid), no halving."""
     mc, cap = spec.mc, spec.cap
     windows = make_windows(pos4, valid_f32, spec)
     specs = _win_specs_merged(spec)
-    if _split_rows(spec, want_pe):
-        force = None
-        pe = None
-        for k, (dz, dy) in enumerate(HALF_OFFSETS5):
-            out = _call_force_k(windows, spec, rc, want_pe, interpret,
-                                True, k, specs, (mc, mc), spec.rows)
-            fk = out[:3]
-            r = out[3:6].reshape(3, mc, mc, mc, cap)
-            if (dz, dy) != (0, 0):
-                r = jnp.roll(r, (dz, dy), axis=(1, 2))
-            fk = fk + r.reshape(3, spec.rows, mc, cap)
-            force = fk if force is None else force + fk
-            if want_pe:
-                pe = out[6] if pe is None else pe + out[6]
-        return force, pe
-
-    nch = 16 if want_pe else 15
-    out = pl.pallas_call(
-        functools.partial(_force_half_kernel, spec=spec, rc=rc,
-                          want_pe=want_pe),
-        grid=(mc, mc),
-        in_specs=specs + [specs[0]],
-        out_specs=pl.BlockSpec(
-            (nch, 1, mc, cap),
-            lambda z, y: (0, z * mc + y, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nch, spec.rows, mc, cap), jnp.float32
-        ),
-        interpret=interpret,
-    )(*([windows] * 5), windows)
-    force = out[:3]
-    # reaction partials: channels 3k..3k+2 were computed by row (z, y) FOR
-    # row (z+dz, y+dy) -> a periodic (dz, dy) roll re-homes them. Regular
-    # rolls, ~0.2 ms of HBM traffic at N=1M vs the ~1.8x kernel saving.
-    for k, (dz, dy) in enumerate(HALF_OFFSETS5):
-        if k == 0:
-            continue  # folded into channels 0-2 in-kernel
-        r = out[3 * k:3 * k + 3].reshape(3, mc, mc, mc, cap)
-        force = force + jnp.roll(r, (dz, dy), axis=(1, 2)).reshape(
-            3, spec.rows, mc, cap)
-    pe = out[15] if want_pe else None
+    force = None
+    pe = None
+    for ks in _row_groups(spec, want_pe):
+        out = _call_force_group(windows, spec, rc, want_pe, interpret,
+                                True, ks, specs, (mc, mc), spec.rows)
+        f = out[:3]
+        ch = 3
+        for k in ks:
+            if k == 0:
+                continue  # folded into channels 0-2 in-kernel
+            dz, dy = HALF_OFFSETS5[k]
+            r = out[ch:ch + 3].reshape(3, mc, mc, mc, cap)
+            f = f + jnp.roll(r, (dz, dy), axis=(1, 2)).reshape(
+                3, spec.rows, mc, cap)
+            ch += 3
+        force = f if force is None else force + f
+        if want_pe:
+            pe = out[ch] if pe is None else pe + out[ch]
     return force, pe
 
 

@@ -34,7 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 from md_neighbor_list_tpu.ops import pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
 from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
-                                                   _force_half_kernel,
                                                    make_windows)
 
 
@@ -116,50 +115,28 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             return force + r, seam
         return force.at[:, 1:].add(r[:, : nz - 1]), seam + r[:, nz - 1]
 
-    if pallas_force._split_rows(spec, want_pe):
-        force = None
-        seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
-        pe = None
-        for k, (dz, dy) in enumerate(HALF_OFFSETS5):
-            out = pallas_force._call_force_k(
-                windows, spec, rc, want_pe, interpret, False, k, specs,
-                (nz, mc), spec.rows)
-            fk = out[:3].reshape(3, nz, mc, mc, cap)
-            force = fk if force is None else force + fk
-            r = out[3:6].reshape(3, nz, mc, mc, cap)
-            force, seam = rehome(force, seam, r, dz, dy)
-            if want_pe:
-                pe = out[6] if pe is None else pe + out[6]
-        return (force.reshape(3, spec.rows, mc, cap), seam,
-                pe.reshape(spec.rows, mc, cap) if want_pe else None)
-
-    nch = 16 if want_pe else 15
-    out = pl.pallas_call(
-        functools.partial(_force_half_kernel, spec=spec, rc=rc,
-                          want_pe=want_pe, zwrap=False),
-        grid=(nz, mc),
-        in_specs=specs + [specs[0]],
-        out_specs=pl.BlockSpec(
-            (nch, 1, mc, cap),
-            lambda z, y: (0, z * mc + y, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nch, spec.rows, mc, cap), jnp.float32
-        ),
-        interpret=interpret,
-    )(*([windows] * 6))
-    # channels 0-2: own force incl. the (0,0) row's reaction (in-kernel)
-    force = out[:3].reshape(3, nz, mc, mc, cap)
+    force = None
     seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
-    for kk, (dz, dy) in enumerate(HALF_OFFSETS5):
-        if kk == 0:
-            continue
-        r = out[3 * kk:3 * kk + 3].reshape(3, nz, mc, mc, cap)
-        force, seam = rehome(force, seam, r, dz, dy)
-    force = force.reshape(3, spec.rows, mc, cap)
-    pe = out[15].reshape(spec.rows, mc, cap) if want_pe else None
-    return force, seam, pe
+    pe = None
+    for ks in pallas_force._row_groups(spec, want_pe):
+        out = pallas_force._call_force_group(
+            windows, spec, rc, want_pe, interpret, False, ks, specs,
+            (nz, mc), spec.rows)
+        # channels 0-2: own force incl. the (0,0) row's reaction (in-kernel)
+        f = out[:3].reshape(3, nz, mc, mc, cap)
+        ch = 3
+        for k in ks:
+            if k == 0:
+                continue
+            dz, dy = HALF_OFFSETS5[k]
+            r = out[ch:ch + 3].reshape(3, nz, mc, mc, cap)
+            f, seam = rehome(f, seam, r, dz, dy)
+            ch += 3
+        force = f if force is None else force + f
+        if want_pe:
+            pe = out[ch] if pe is None else pe + out[ch]
+    return (force.reshape(3, spec.rows, mc, cap), seam,
+            pe.reshape(spec.rows, mc, cap) if want_pe else None)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -311,16 +311,19 @@ def spec_cell(sim):
 
 
 def test_split_row_kernels_match_merged(monkeypatch):
-    """The per-offset-row split path (engaged when _split_rows says the
-    merged kernel would blow the 16 MB scoped-VMEM stack, e.g. N=8M's
-    mc=71 cap=40) must reproduce the merged kernels: counts and masks
-    bitwise, forces to summation-order noise."""
+    """The grouped/split paths (engaged when the _row_groups live model
+    says the 5-row merged kernel would blow the 16 MB scoped-VMEM stack,
+    e.g. N=8M's mc=71 cap=40) must reproduce the merged kernels: counts
+    and masks bitwise, forces to summation-order noise — for EVERY group
+    plan the policy can emit (5 singletons; the (3,2) and (2,2,1)
+    groupings)."""
     from md_neighbor_list_tpu.ops import pallas_force
 
     state, spec, box, pos = _dense_state(key=13)
     v = state.valid().astype(jnp.float32)
     vm = state.valid()
     assert not pallas_force._split_rows(spec)
+    assert pallas_force._row_groups(spec) == [(0, 1, 2, 3, 4)]
 
     c_ref = pallas_force.dense_counts_half(state.pos, v, spec, 2.8, True)
     f_ref, pe_ref = pallas_force.dense_forces_half(
@@ -330,22 +333,29 @@ def test_split_row_kernels_match_merged(monkeypatch):
 
     monkeypatch.setattr(pallas_force, "_split_rows",
                         lambda s, want_pe=False, kind="force": True)
-    # fresh traces (the jit caches key on static args, not on _split_rows)
-    c2 = pallas_force.dense_counts_half.__wrapped__(
-        state.pos, v, spec, 2.8, True)
-    f2, pe2 = pallas_force.dense_forces_half.__wrapped__(
-        state.pos, v, spec, 2.5, True, True)
-    l2, m2 = pallas_force.dense_lists_half.__wrapped__(
-        state.pos, v, spec, 2.8, True)
-
-    np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c2))
-    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l2))
-    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m2))
     scale = float(jnp.max(jnp.abs(f_ref)))
-    df = float(jnp.max(jnp.where(vm[None], jnp.abs(f_ref - f2), 0.0)))
-    assert df <= 1e-4 * max(scale, 1.0), df
-    dpe = float(jnp.max(jnp.where(vm, jnp.abs(pe_ref - pe2), 0.0)))
-    assert dpe <= 1e-4, dpe
+    for plan in ([(0,), (1,), (2,), (3,), (4,)],
+                 [(0, 1, 2), (3, 4)],
+                 [(0, 1), (2, 3), (4,)],
+                 [(1, 0), (4, 2, 3)]):  # order inside a group is free too
+        monkeypatch.setattr(pallas_force, "_row_groups",
+                            lambda s, want_pe=False, plan=plan: plan)
+        # fresh traces (the jit caches key on static args, not on the
+        # monkeypatched policy functions)
+        c2 = pallas_force.dense_counts_half.__wrapped__(
+            state.pos, v, spec, 2.8, True)
+        f2, pe2 = pallas_force.dense_forces_half.__wrapped__(
+            state.pos, v, spec, 2.5, True, True)
+        l2, m2 = pallas_force.dense_lists_half.__wrapped__(
+            state.pos, v, spec, 2.8, True)
+
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m2))
+        df = float(jnp.max(jnp.where(vm[None], jnp.abs(f_ref - f2), 0.0)))
+        assert df <= 1e-4 * max(scale, 1.0), (plan, df)
+        dpe = float(jnp.max(jnp.where(vm, jnp.abs(pe_ref - pe2), 0.0)))
+        assert dpe <= 1e-4, (plan, dpe)
 
 
 def test_expand_kernel_odd_rows_grouped():

@@ -170,3 +170,39 @@ def test_dense_dd_p2_matches_p8():
     L = DenseSlabSimulator(_dd(2), cap=16).box.L
     d = np.minimum(d, L - d)
     assert d.max() < 2e-4, d.max()
+
+
+def test_slab_force_row_groups_match_merged(monkeypatch):
+    """The slab force kernel's grouped form (one pallas_call per
+    _row_groups group at N=8M-class shapes) must reproduce the merged
+    slab kernel: owned forces, seam reactions and PE to summation-order
+    noise. Built as the P=1 self-halo geometry (ghost layer = the first
+    owned layer shifted by +L) so the extended arrays are easy to
+    synthesize from a cube state."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
+                                                       slab_forces_half)
+    from tests.test_dense import _dense_state
+
+    state, spec, box, _ = _dense_state(key=7)
+    s_spec = SlabSpec(mc=spec.mc, nz=spec.mc, mc_z=spec.mc, cap=spec.cap,
+                      L=spec.L, cell_size=spec.cell_size,
+                      cell_z=spec.cell_size)
+    v = state.valid().astype(jnp.float32)
+    ghost = state.pos[:, : spec.mc].at[2].add(jnp.float32(spec.L))
+    ext_pos = jnp.concatenate([state.pos, ghost], axis=1)
+    ext_v = jnp.concatenate([v, v[: spec.mc]], axis=0)
+
+    assert pallas_force._row_groups(s_spec) == [(0, 1, 2, 3, 4)]
+    f_ref, seam_ref, pe_ref = slab_forces_half(
+        ext_pos, ext_v, s_spec, 2.5, True, True)
+
+    monkeypatch.setattr(pallas_force, "_row_groups",
+                        lambda s, want_pe=False: [(0, 1), (2, 3), (4,)])
+    f2, seam2, pe2 = slab_forces_half.__wrapped__(
+        ext_pos, ext_v, s_spec, 2.5, True, True)
+
+    scale = max(float(jnp.max(jnp.abs(f_ref))), 1.0)
+    assert float(jnp.max(jnp.abs(f_ref - f2))) <= 1e-4 * scale
+    assert float(jnp.max(jnp.abs(seam_ref - seam2))) <= 1e-4 * scale
+    assert float(jnp.max(jnp.abs(pe_ref - pe2))) <= 1e-4

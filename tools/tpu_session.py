@@ -39,6 +39,11 @@ STAGES = {
     "bench1m": ("bench.py", []),
     "bench8m": ("bench.py", ["--n", "8000000", "--steps", "60"]),
     "split8m": ("tools/tpu_split_probe.py", []),
+    "split8m_force": ("tools/tpu_split_probe.py", ["--mode", "force"]),
+    "split1m_force": ("tools/tpu_split_probe.py",
+                      ["--n", "1000000", "--mode", "force", "--pe"]),
+    "breakdown8m": ("tools/tpu_build_breakdown.py",
+                    ["--n", "8000000", "--cap", "40", "--reps", "5"]),
     "validate1m": ("tools/validate_tpu.py",
                    ["--n", "1000000", "--steps", "1000"]),
     "validate8m": ("tools/validate_tpu.py",

@@ -36,6 +36,9 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=8_000_000)
 ap.add_argument("--cap", type=int, default=40)
 ap.add_argument("--reps", type=int, default=5)
+ap.add_argument("--mode", default="all", choices=["all", "force", "counts"])
+ap.add_argument("--pe", action="store_true",
+                help="also probe the want_pe (diagnostics) force variants")
 args = ap.parse_args()
 
 print(f"device: {jax.devices()[0]}  N={args.n} cap={args.cap}", flush=True)
@@ -119,8 +122,41 @@ def split_lists(pos4):
     return jnp.sum(c).astype(jnp.float32) + m[0, 0, 0, 0, 0] * 0.0
 
 
-timed("counts split (production)", split_counts)
-timed("counts MERGED at N=8M shape", merged_counts)
-timed("lists split (production)", split_lists)
-timed("lists MERGED at N=8M shape", merged_lists)
+def force_with_plan(plan, want_pe=False):
+    def fn(pos4):
+        orig = pallas_force._row_groups
+        pallas_force._row_groups = lambda s, w=False, p=plan: p
+        try:
+            f, pe = pallas_force.dense_forces_half.__wrapped__(
+                pos4, v32, spec, 2.5, False, want_pe)
+        finally:
+            pallas_force._row_groups = orig
+        out = jnp.sum(f[0, 0, 0])
+        return out + (jnp.sum(pe[0, 0]) if want_pe else 0.0)
+    return fn
+
+
+PLANS = {
+    "merged(5)": [(0, 1, 2, 3, 4)],
+    "groups(3,2)": [(0, 1, 2), (3, 4)],
+    "groups(2,2,1)": [(0, 1), (2, 3), (4,)],
+    "singletons": [(0,), (1,), (2,), (3,), (4,)],
+}
+
+if args.mode in ("force", "all"):
+    print(f"force plans at mc={mc} cap={cap} "
+          f"(policy: {pallas_force._row_groups(spec)})", flush=True)
+    for name, plan in PLANS.items():
+        timed(f"force {name}", force_with_plan(plan))
+    if args.pe:
+        print(f"force+pe plans (policy: "
+              f"{pallas_force._row_groups(spec, True)})", flush=True)
+        for name, plan in PLANS.items():
+            timed(f"force+pe {name}", force_with_plan(plan, want_pe=True))
+
+if args.mode in ("counts", "all"):
+    timed("counts split (production)", split_counts)
+    timed("counts MERGED at N=8M shape", merged_counts)
+    timed("lists split (production)", split_lists)
+    timed("lists MERGED at N=8M shape", merged_lists)
 print("DONE", flush=True)
