@@ -180,6 +180,30 @@ class DenseSimulator:
             return ke, pe
 
         @jax.jit
+        def thermo(carry: DenseCarry):
+            """(KE, PE, W): kinetic energy, shifted potential and total
+            pair virial W = sum over pairs of dr . F_pair — the inputs of
+            the instantaneous pressure P = (2*KE + W) / (3*V)."""
+            v = carry.state.valid()
+            ke = 0.5 * jnp.sum(
+                jnp.where(v[None], carry.state.vel, 0.0) ** 2
+            )
+            if impl == "jnp":
+                _, pe_s, w_s = dense_ref.sweep_reference(
+                    carry.state, spec, cfg.rc, True, want_virial=True
+                )
+                half = jnp.float32(0.5)  # full sweep counts each pair twice
+            else:
+                valid = carry.state.valid().astype(jnp.float32)
+                pe_s, w_s = pallas_force.dense_pe_virial(
+                    carry.state.pos, valid, spec, cfg.rc, interp
+                )
+                half = jnp.float32(1.0)
+            pe = half * jnp.sum(jnp.where(v, pe_s, 0.0))
+            w = half * jnp.sum(jnp.where(v, w_s, 0.0))
+            return ke, pe, w
+
+        @jax.jit
         def rebuild_and_lists(state: DenseState):
             """The timed neighbor-list build (BASELINE.md row 1): bin +
             sort + expand + the one-pass half-list kernel emitting the
@@ -207,6 +231,7 @@ class DenseSimulator:
         self._run_chunk = run_chunk
         self._initial_build = initial_build
         self._energies = energies
+        self._thermo = thermo
         self._rebuild_and_lists = rebuild_and_lists
         self.step_fn = lambda carry: step(carry, None)[0]
 
@@ -256,6 +281,18 @@ class DenseSimulator:
 
     def energies(self, carry: DenseCarry):
         return self._energies(carry)
+
+    def thermo(self, carry: DenseCarry):
+        """(KE, PE, W): kinetic, shifted potential, total pair virial."""
+        return self._thermo(carry)
+
+    def pressure(self, carry: DenseCarry) -> float:
+        """Instantaneous virial pressure P = (2*KE + W) / (3*V) in reduced
+        units (V = L^3) — the standard second MD observable next to the
+        energies (SURVEY.md §4.5's LJ force contracted with dr)."""
+        ke, _, w = self._thermo(carry)
+        vol = float(self.spec.L) ** 3
+        return float((2.0 * ke + w) / (3.0 * vol))
 
     def to_system(self, carry: DenseCarry):
         """(pos, vel, force) packed in pid order — host-side, tests only."""

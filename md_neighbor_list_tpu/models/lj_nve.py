@@ -159,10 +159,21 @@ class Simulator:
             _, pe = forces(carry.system, carry.nbr)
             return kinetic_energy(carry.system.vel), pe
 
+        @jax.jit
+        def thermo(carry: Carry):
+            """(KE, PE, W): kinetic, shifted potential, total pair virial
+            W = sum over pairs of dr . F — the inputs of the instantaneous
+            pressure P = (2*KE + W) / (3*V)."""
+            pe, w = lj.pe_virial(
+                carry.system.pos, carry.nbr.idx, box, cfg.rc, cfg.half_list
+            )
+            return kinetic_energy(carry.system.vel), pe, w
+
         self._run_chunk = run_chunk
         self._initial_build = initial_build
         self._rebuild_only = rebuild_only
         self._energies = energies
+        self._thermo = thermo
         # raw (un-jitted) single step, exposed for embedding/compile checks
         self.step_fn = lambda carry: step(carry, None)[0]
 
@@ -211,3 +222,14 @@ class Simulator:
         """(kinetic, potential) — jitted diagnostic (SURVEY.md §6.2 NVE
         drift gate)."""
         return self._energies(carry)
+
+    def thermo(self, carry: Carry):
+        """(KE, PE, W): kinetic, shifted potential, total pair virial."""
+        return self._thermo(carry)
+
+    def pressure(self, carry: Carry) -> float:
+        """Instantaneous virial pressure P = (2*KE + W) / (3*V) in reduced
+        units (V = L^3)."""
+        ke, _, w = self._thermo(carry)
+        vol = float(self.box.L) ** 3
+        return float((2.0 * ke + w) / (3.0 * vol))

@@ -31,6 +31,19 @@ def lj_force_scalar(r2: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, f, 0.0)
 
 
+def lj_pair_virial(r2: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Pair virial contribution w = dr . F_pair = f * r2 = 24*(2*s6^2 - s6)
+    (the r2 cancels one power of s2 exactly) — the algebraic simplification
+    keeps masked/padded lanes finite without a guarded divide. Total virial
+    W = sum over unordered pairs; instantaneous pressure
+    P = (2*KE + W) / (3*V) in reduced units (SURVEY.md §4.5's force
+    formula contracted with dr)."""
+    safe_r2 = jnp.where(mask, r2, 1.0)
+    s2 = 1.0 / safe_r2
+    s6 = s2 * s2 * s2
+    return jnp.where(mask, 24.0 * s6 * (2.0 * s6 - 1.0), 0.0)
+
+
 def lj_potential(r2: jnp.ndarray, mask: jnp.ndarray, rc: float) -> jnp.ndarray:
     """Pair potential 4*(s6^2 - s6), shifted so u(rc) = 0 (standard
     truncated-and-shifted LJ — keeps NVE energy continuous across the cutoff,

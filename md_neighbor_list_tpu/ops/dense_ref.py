@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from md_neighbor_list_tpu.ops.common import lj_force_scalar, lj_potential
+from md_neighbor_list_tpu.ops.common import (lj_force_scalar,
+                                             lj_pair_virial, lj_potential)
 from md_neighbor_list_tpu.ops.dense_cells import DenseSpec, DenseState
 
 OFFSETS27 = [
@@ -74,12 +75,14 @@ def _axis_shift(spec: DenseSpec, d: int, axis: int) -> jnp.ndarray:
 
 
 def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
-                    want_forces: bool):
+                    want_forces: bool, want_virial: bool = False):
     """One dense 27-neighborhood sweep.
 
     want_forces=True: (forces (3, R, mc, cap), pe-per-slot) with the LJ rc
-    cutoff; else: per-slot neighbor counts within ``radius`` (the Verlet
-    rs), for pair-count parity against the oracle."""
+    cutoff — plus the per-slot pair virial when ``want_virial`` (full
+    symmetric attribution like pe: total W = sum/2); else: per-slot
+    neighbor counts within ``radius`` (the Verlet rs), for pair-count
+    parity against the oracle."""
     mc, cap = spec.mc, spec.cap
     x = [_as5d(state.pos[i], spec) for i in range(3)]
     valid = _as5d(state.valid(), spec)
@@ -89,6 +92,7 @@ def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
     fy = jnp.zeros_like(x[0])
     fz = jnp.zeros_like(x[0])
     pe = jnp.zeros_like(x[0])
+    vir = jnp.zeros_like(x[0])
     cnt = jnp.zeros(x[0].shape, jnp.int32)
     eye = jnp.eye(cap, dtype=bool)
 
@@ -114,6 +118,8 @@ def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
             fy = fy + jnp.sum(f * dyv, axis=-1)
             fz = fz + jnp.sum(f * dzv, axis=-1)
             pe = pe + jnp.sum(lj_potential(r2, mask, radius), axis=-1)
+            if want_virial:
+                vir = vir + jnp.sum(lj_pair_virial(r2, mask), axis=-1)
         else:
             cnt = cnt + jnp.sum(mask.astype(jnp.int32), axis=-1)
 
@@ -122,6 +128,8 @@ def sweep_reference(state: DenseState, spec: DenseSpec, radius: float,
         force = jnp.stack(
             [fx.reshape(shape), fy.reshape(shape), fz.reshape(shape)]
         )
+        if want_virial:
+            return force, pe.reshape(shape), vir.reshape(shape)
         return force, pe.reshape(shape)
     return cnt.reshape(shape)
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax import lax, ops
 
 from md_neighbor_list_tpu.core.box import Box
-from md_neighbor_list_tpu.ops.common import lj_force_scalar, lj_potential
+from md_neighbor_list_tpu.ops.common import (lj_force_scalar,
+                                             lj_pair_virial, lj_potential)
 
 
 def forces_energy(pos: jnp.ndarray, idx: jnp.ndarray, box: Box, rc: float,
@@ -86,3 +87,37 @@ def forces_energy(pos: jnp.ndarray, idx: jnp.ndarray, box: Box, rc: float,
         0, npad // chunk, body, (force0, jnp.float32(0.0))
     )
     return force[:n], energy
+
+
+def pe_virial(pos: jnp.ndarray, idx: jnp.ndarray, box: Box, rc: float,
+              half: bool, chunk: int = 8192,
+              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(total shifted PE, total pair virial W) from padded rows — the
+    observables pass behind ``Simulator.thermo``. W = sum over unordered
+    pairs of dr . F_pair; instantaneous pressure P = (2*KE + W) / (3*V).
+    Same row chunking and pair-attribution rules as ``forces_energy``
+    (half rows count each pair once, full rows are halved)."""
+    n, k = idx.shape
+    npad = ((n + chunk - 1) // chunk) * chunk
+    idx_pad = jnp.pad(idx, ((0, npad - n), (0, 0)), constant_values=n)
+    pos_rows = jnp.pad(pos, ((0, npad - n), (0, 0)))
+    pos_gather = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], axis=0)
+    r2cut = jnp.float32(rc * rc)
+
+    def body(ci, carry):
+        energy, vir = carry
+        start = ci * chunk
+        idx_c = lax.dynamic_slice_in_dim(idx_pad, start, chunk)
+        my_pos = lax.dynamic_slice_in_dim(pos_rows, start, chunk)
+        jpos = pos_gather[jnp.minimum(idx_c, n)]
+        dr = box.min_image(my_pos[:, None, :] - jpos)
+        r2 = jnp.sum(dr * dr, axis=-1)
+        mask = (idx_c < n) & (r2 < r2cut)
+        u = jnp.sum(lj_potential(r2, mask, rc))
+        w = jnp.sum(lj_pair_virial(r2, mask))
+        scale = 1.0 if half else 0.5
+        return energy + scale * u, vir + scale * w
+
+    return lax.fori_loop(
+        0, npad // chunk, body, (jnp.float32(0.0), jnp.float32(0.0))
+    )

@@ -575,6 +575,77 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     return counts.astype(jnp.int32)
 
 
+def _pe_virial_half_kernel(*refs, spec, rc: float, zwrap: bool = True,
+                           ks=(0, 1, 2, 3, 4)):
+    """Half-sweep diagnostics pass: per-slot shifted pair potential AND
+    pair virial w = dr . F = 24*(2*s6^2 - s6) (the r2 contracts one power
+    of s2 exactly — ops.common.lj_pair_virial), each attributed ONCE per
+    pair to the lexicographically-lower slot. A separate tiny kernel so
+    the observable does not widen the hot force kernel's live set or its
+    compile-cache footprint (diagnostics cadence, not step cadence)."""
+    n = len(ks)
+    nbr_refs = refs[:n]
+    own_ref = refs[n]
+    outp_ref = refs[n + 1]
+    outw_ref = refs[n + 2]
+    mc, cap = spec.mc, spec.cap
+    r2cut = jnp.float32(rc * rc)
+    s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
+    ushift = 4.0 * (s6c * s6c - s6c)
+    pe = jnp.zeros((mc, cap), jnp.float32)
+    w = jnp.zeros((mc, cap), jnp.float32)
+    for i, k in enumerate(ks):
+        dz, dy = HALF_OFFSETS5[k]
+        r2p, _, _, _ = _pair_geom_static(
+            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
+        hit = r2p < r2cut
+        s2 = 1.0 / r2p  # exact divide: diagnostics are reference-exact
+        s6 = s2 * s2 * s2
+        pe += jnp.where(hit, 4.0 * (s6 * s6 - s6) - ushift, 0.0).sum(axis=-1)
+        w += jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0), 0.0).sum(axis=-1)
+    outp_ref[0] = pe
+    outw_ref[0] = w
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def dense_pe_virial(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
+                    spec: DenseSpec, rc: float, interpret: bool = False):
+    """Per-slot (pe, virial) within the LJ cutoff, half-attributed: total
+    PE = sum(pe * valid), total virial W = sum(vir * valid), pressure
+    P = (2*KE + W) / (3*V). The observable pass behind
+    ``DenseSimulator.thermo`` — reuses the half-sweep geometry and the
+    counts kernel's split policy."""
+    mc, cap = spec.mc, spec.cap
+    windows = make_windows(pos4, valid_f32, spec)
+    specs = _win_specs_merged(spec)
+    groups = ([(k,) for k in range(5)]
+              if _split_rows(spec, kind="counts")
+              else [(0, 1, 2, 3, 4)])
+    pe = None
+    vir = None
+    for ks in groups:
+        p, w = pl.pallas_call(
+            functools.partial(_pe_virial_half_kernel, spec=spec, rc=rc,
+                              ks=ks),
+            grid=(mc, mc),
+            in_specs=[specs[k] for k in ks] + [specs[0]],
+            out_specs=[
+                pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, mc, cap), lambda z, y: (z * mc + y, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+                jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*([windows] * len(ks)), windows)
+        pe = p if pe is None else pe + p
+        vir = w if vir is None else vir + w
+    return pe, vir
+
+
 def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
                       ks=(0, 1, 2, 3, 4)):
     """Half-sweep neighbor-list emission for the offset rows in ``ks``:
