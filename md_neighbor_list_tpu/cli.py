@@ -125,6 +125,8 @@ def main(argv=None) -> int:
         elapsed = time.time() - t1
         system = sim.gather(state)
         rebuilds = int(np.asarray(state.n_rebuilds)[0])
+        pressure = None  # DD engines: energies only (observable on
+        # the single-chip engines; gather + Simulator.thermo covers DD)
     else:
         if engine == "dense":
             from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
@@ -159,12 +161,13 @@ def main(argv=None) -> int:
         else:
             system = carry.system
             rebuilds = int(np.asarray(carry.nbr.n_rebuilds))
+        pressure = round(sim.pressure(carry), 6)
 
     e0, e1 = float(ke0) + float(pe0), float(ke1) + float(pe1)
     drift = abs(e1 - e0) / max(abs(e0), 1e-9)
     logger.log("run_done", steps=cfg.steps, seconds=round(elapsed, 3),
                steps_per_s=round(cfg.steps / max(elapsed, 1e-9), 2),
-               rebuilds=rebuilds, energy_drift=drift)
+               rebuilds=rebuilds, energy_drift=drift, pressure=pressure)
 
     parity_ok = None
     if args.check_parity:
