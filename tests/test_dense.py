@@ -469,3 +469,32 @@ def test_all_invalid_slots_emit_nothing():
                                                2.8, True)
     assert int(jnp.sum(c_l)) == 0
     assert int(jnp.sum(jnp.abs(masks))) == 0
+
+
+def test_row_groups_policy_invariants():
+    """_row_groups must always partition the five half-sweep offset rows,
+    keep every non-singleton plan's modeled live set inside the scoped-VMEM
+    budget, and stay merged at the shapes whose merged kernels are known to
+    compile (mc=35 cap=40 force — the N=1M production shape)."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.dense_cells import DenseSpec
+
+    budget = 14 << 20
+    for mc in (4, 16, 35, 71, 100):
+        for cap in (32, 40, 72):
+            spec = DenseSpec(mc=mc, cap=cap, L=float(mc) * 2.86,
+                             cell_size=2.86)
+            unit = mc * cap * 3 * cap * 4
+            for pe in (False, True):
+                plan = pallas_force._row_groups(spec, pe)
+                assert sorted(k for g in plan for k in g) == [0, 1, 2, 3, 4]
+                live = (pallas_force._FORCE_LIVE_PE if pe
+                        else pallas_force._FORCE_LIVE)
+                if len(plan) < 5:
+                    gmax = max(len(g) for g in plan)
+                    assert live[gmax] * unit <= budget, (mc, cap, pe, plan)
+
+    n1m = DenseSpec(mc=35, cap=40, L=100.0, cell_size=100.0 / 35)
+    assert pallas_force._row_groups(n1m) == [(0, 1, 2, 3, 4)]
+    n8m = DenseSpec(mc=71, cap=40, L=200.0, cell_size=200.0 / 71)
+    assert len(pallas_force._row_groups(n8m)) > 1  # must split at N=8M

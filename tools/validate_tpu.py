@@ -117,6 +117,22 @@ def main():
                        abs(pe_h2 - pe_f) <= 1e-4 * abs(pe_f),
                        f"({pe_h2:.3f} vs {pe_f:.3f})")
 
+    # virial/pressure observable kernel (round 3): pe AND virial from the
+    # dedicated half-sweep diagnostics pass vs the jnp twin on real Mosaic
+    _, pe_tw, w_tw = dense_ref.sweep_reference(st0, spec0, 2.5, True,
+                                               want_virial=True)
+    pe_v, w_v = pallas_force.dense_pe_virial(st0.pos, valid0, spec0, 2.5,
+                                             False)
+    pe_tws = 0.5 * float(jnp.sum(jnp.where(vm0, pe_tw, 0.0)))
+    w_tws = 0.5 * float(jnp.sum(jnp.where(vm0, w_tw, 0.0)))
+    pe_vs = float(jnp.sum(jnp.where(vm0, pe_v, 0.0)))
+    w_vs = float(jnp.sum(jnp.where(vm0, w_v, 0.0)))
+    ok &= gate("pe/virial kernel vs reference",
+               abs(pe_vs - pe_tws) <= 1e-4 * abs(pe_tws)
+               and abs(w_vs - w_tws) <= 1e-4 * max(abs(w_tws), 1.0),
+               f"(PE {pe_vs:.3f} vs {pe_tws:.3f}, W {w_vs:.3f} vs "
+               f"{w_tws:.3f})")
+
     f_k, pe_k = pallas_force.dense_forces(st0.pos, valid0, spec0, 2.5,
                                           False, True)
     f_r, pe_r = dense_ref.sweep_reference(st0, spec0, 2.5, want_forces=True)
