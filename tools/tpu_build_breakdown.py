@@ -17,6 +17,10 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--n", type=int, default=1_000_000)
 ap.add_argument("--reps", type=int, default=10)
 ap.add_argument("--cap", type=int, default=40)
+ap.add_argument("--phases", action="store_true",
+                help="also decompose the rebuild into keys / sort / "
+                "row-starts / expand sub-phases (differences of "
+                "cumulative timings)")
 args = ap.parse_args()
 
 print(f"device: {jax.devices()[0]}  N={args.n} cap={args.cap}", flush=True)
@@ -92,6 +96,40 @@ _movers = int(np.asarray(jnp.sum(
     (st.valid() & (_k != own_cell_keys(spec))).astype(jnp.int32))))
 print(f"movers at skin/2 drift: {_movers} "
       f"({100.0 * _movers / args.n:.1f}% of N)", flush=True)
+
+if args.phases:
+    from jax import lax
+
+    from md_neighbor_list_tpu.ops import dense_cells as dc
+
+    def _keyed(s):
+        s2 = s._replace(pos=jnp.mod(s.pos, jnp.float32(spec.L)))
+        keys = dc._flat(dc.cell_keys(s2, spec))
+        chans = tuple(dc._flat(s2.pos[i]) for i in range(3)) + tuple(
+            dc._flat(s2.vel[i]) for i in range(3)
+        ) + (dc._flat(s2.pid).astype(jnp.float32),)
+        return keys, chans
+
+    def f_keys(s):
+        keys, chans = _keyed(s)
+        return keys[0].astype(jnp.float32) + sum(c[0] for c in chans)
+
+    def f_sort(s):
+        keys, chans = _keyed(s)
+        out = lax.sort((keys,) + chans, dimension=0, num_keys=1)
+        return out[0][0].astype(jnp.float32) + sum(o[0] for o in out[1:])
+
+    def f_rowstarts(s):
+        keys, chans = _keyed(s)
+        out = lax.sort((keys,) + chans, dimension=0, num_keys=1)
+        rs = dc._row_starts(out[0], spec)
+        return (rs[0] + rs[-1]).astype(jnp.float32) + sum(
+            o[0] for o in out[1:])
+
+    timed("rebuild phase: wrap+keys", f_keys)
+    timed("rebuild phase: +8-payload sort", f_sort)
+    timed("rebuild phase: +row starts", f_rowstarts)
+    # full rebuild minus the +row-starts row = concat + expand kernel
 
 timed("rebuild (sort+expand)", f_rebuild)
 timed("rebuild INCREMENTAL (drifted)", f_rebuild_inc)

@@ -43,7 +43,8 @@ STAGES = {
     "split1m_force": ("tools/tpu_split_probe.py",
                       ["--n", "1000000", "--mode", "force", "--pe"]),
     "breakdown8m": ("tools/tpu_build_breakdown.py",
-                    ["--n", "8000000", "--cap", "40", "--reps", "5"]),
+                    ["--n", "8000000", "--cap", "40", "--reps", "5",
+                     "--phases"]),
     "validate1m": ("tools/validate_tpu.py",
                    ["--n", "1000000", "--steps", "1000"]),
     "validate8m": ("tools/validate_tpu.py",
