@@ -51,6 +51,7 @@ STAGES = {
                    ["--n", "8000000", "--steps", "500"]),
     "slabcost": ("tools/tpu_slab_cost.py", []),
     "decode8m": ("tools/tpu_decode_8m.py", []),
+    "gather_force": ("tools/tpu_gather_force.py", ["--n", "1000000"]),
     "occupancy": ("tools/tpu_occupancy_probe.py", []),
 }
 
