@@ -122,9 +122,10 @@ def decode_pairs(masks, pid, spec, impl: str = "auto"):
 
 
 def masks_to_padded(masks, pid, spec, n: int | None = None,
-                    k_cap: int | None = None, impl: str = "auto"):
+                    k_cap: int | None = None, impl: str = "auto",
+                    full: bool = False):
     """Convert the packed masks to the reference's deliverable shape:
-    fixed-capacity padded half-neighbor rows (BASELINE.json:5).
+    fixed-capacity padded neighbor rows (BASELINE.json:5).
 
     Args:
       masks, pid, spec: as in ``decode_pairs``.
@@ -132,21 +133,27 @@ def masks_to_padded(masks, pid, spec, n: int | None = None,
              the number of valid slots, which undercounts whenever the
              state's pids are not the dense range 0..n-1, e.g. a slab's
              local shard).
-      k_cap: row capacity K (default: max per-particle half count, rounded
+      k_cap: row capacity K (default: max per-particle count, rounded
              up to a multiple of 8).
+      full:  False (default) — half rows: row i holds j's with (i, j)
+             attributed to i by the kernel's Newton-3 dedup, each
+             unordered pair stored once (sum(cnt) == pair count).
+             True — the reference's FULL-list variant: every pair stored
+             in both rows (row i holds its complete symmetric
+             neighborhood; sum(cnt) == 2 x pair count), the shape a
+             scatter-free force loop consumes.
 
     Returns (idx, cnt): idx (N, K) i32 rows of global neighbor ids padded
     with the sentinel N (a gather of a padded slot hits a ghost row, per
-    SURVEY.md §4.3); cnt (N,) i32 half neighbor counts. Row i holds j's
-    with (i, j) attributed to i by the kernel's Newton-3 dedup — NOT the
-    full symmetric neighborhood; symmetrize by also scanning j rows, or
-    use the pair list from ``decode_pairs``.
+    SURVEY.md §4.3); cnt (N,) i32 neighbor counts.
     """
     if n is None:
         n = max(int(np.asarray(pid).max()) + 1, 0)
     pi, pj = _decode_pid_pairs(masks, pid, spec, impl)
     pi = pi.astype(np.int64)
     pj = pj.astype(np.int64)
+    if full:
+        pi, pj = np.concatenate([pi, pj]), np.concatenate([pj, pi])
     if pi.size and max(int(pi.max()), int(pj.max())) >= n:
         raise ValueError(
             f"n={n} is smaller than max decoded pid "

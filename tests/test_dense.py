@@ -241,6 +241,19 @@ def test_half_list_artifact_decodes_to_oracle_pairs():
             rows.add((min(a, int(b)), max(a, int(b))))
     assert rows == want
 
+    # full-list variant (the reference's symmetric rows): every pair in
+    # both rows, counts sum to 2x the half pair count
+    idx_f, cnt_f = masks_to_padded(masks, state.pid, spec, n=n, full=True)
+    assert int(cnt_f.sum()) == 2 * total
+    nbrs = {a: set() for a in range(n)}
+    for a, b in want:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for a in range(n):
+        assert (idx_f[a, cnt_f[a]:] == n).all()
+        assert set(idx_f[a, : cnt_f[a]].tolist()) == nbrs[a]
+        assert cnt_f[a] == len(nbrs[a])
+
 
 def test_decode_empty_artifact():
     """Decoding an artifact with no set bits (e.g. a fresh/empty state)

@@ -75,17 +75,8 @@ def main():
           f"K_half={idx_h.shape[1]}  pairs={int(cnt_h.sum())}", flush=True)
 
     # Symmetrized full rows from the same pair set (no scatter needed).
-    pi = np.repeat(np.arange(n, dtype=np.int64), cnt_h)
-    pj = idx_h[idx_h < n].astype(np.int64)
-    both_i = np.concatenate([pi, pj])
-    both_j = np.concatenate([pj, pi])
-    cnt_f = np.bincount(both_i, minlength=n).astype(np.int32)
-    k_full = max(8, -(-int(cnt_f.max()) // 8) * 8)
-    idx_f = np.full((n, k_full), n, np.int32)
-    order = np.argsort(both_i, kind="stable")
-    bi, bj = both_i[order], both_j[order]
-    slot = np.arange(bi.size) - np.concatenate(([0], np.cumsum(cnt_f)))[bi]
-    idx_f[bi, slot] = bj
+    idx_f, cnt_f = masks_to_padded(masks, st.pid, spec, n=n, full=True)
+    k_full = idx_f.shape[1]
     print(f"K_full={k_full}  mean full count={cnt_f.mean():.1f}", flush=True)
 
     pos = jnp.asarray(np.asarray(system.pos, np.float32))
