@@ -672,38 +672,45 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
     r2cut = jnp.float32(radius * radius)
-    # Packing weights as (1, cap, 1) f32 BROADCASTS (they depend only on
-    # the slot axis), split per word into 16-bit halves so every weighted
-    # sublane sum stays an exact f32 integer (sums of distinct 2^0..2^15
-    # <= 65535 < 2^24); the halves recombine in i32 on the small
-    # (mc, 3cap) output rows. Replaces the first-cut full (mc, cap, 3cap)
-    # i32 weight constants + i32 select/reduce over the pair cube —
-    # measured 8.9 ms of pure packing on top of the 8.5 ms counts pass at
-    # N=1M; i32 vector ops run at a fraction of f32 rate and the wide
-    # selects rematerialized the weight cube per offset row.
+    # Packing weights as ONE (1, cap, 1) f32 broadcast of 2^(slot mod 16)
+    # (EXACT powers of two via integer shifts — jnp.exp2 is a polynomial
+    # approximation; 2^13 came out 8192.004). Each i32 word is assembled
+    # from two 16-bit halves so every weighted sublane sum stays an exact
+    # f32 integer (sums of distinct 2^0..2^15 <= 65535 < 2^24), and the
+    # halves recombine in i32 on the small (mc, 3cap) output rows. The
+    # half-sums run over SUBLANE SLICES of the weighted hit cube
+    # ([32w, 32w+16) and [32w+16, 32w+32) of the slot axis — slot % 16 is
+    # the in-half bit because halves start at multiples of 16; all slice
+    # bounds are multiples of 8, so they are sublane-tile aligned): each
+    # slot sublane is touched by exactly one select and one reduce,
+    # where the first cut summed `hitf * half_weights` over the FULL cap
+    # axis once per (word, half) — 4 cube multiply+reduce passes at
+    # cap=40. Measured effect is small (N=1M cap=40 list pass 19.5 ms vs
+    # 20.6 before, inside the ~10% tunnel variance — the pass is NOT
+    # dominated by the packing arithmetic), kept for the strictly lower
+    # op count. Earlier history: packing over window lanes paid a full
+    # cross-lane reduction per word (22.7 vs 16.7 ms at N=1M cap=32);
+    # full (mc, cap, 3cap) i32 weight constants + i32 select/reduce
+    # measured 8.9 ms of pure packing (i32 vector ops run at a fraction
+    # of f32 rate).
     slot1 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
-    halves = []  # (lo_weights, hi_weights) f32 broadcasts, EXACT powers
-    # of two via integer shifts on the tiny (1, cap, 1) array (jnp.exp2 is
-    # a polynomial approximation — 2^13 came out 8192.004)
-    for w in range(words):
-        rel = slot1 - MASK_BITS * w
-        in_lo = (rel >= 0) & (rel < 16)
-        in_hi = (rel >= 16) & (rel < MASK_BITS)
-        shl = jnp.clip(jnp.where(in_hi, rel - 16, rel), 0, 15)
-        pow2 = (jnp.int32(1) << shl).astype(jnp.float32)
-        halves.append((jnp.where(in_lo, pow2, 0.0),
-                       jnp.where(in_hi, pow2, 0.0)))
+    wq = (jnp.int32(1) << (slot1 % 16)).astype(jnp.float32)
     cnt = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
         r2p, _, _, _ = _pair_geom_static(
             nbr_refs[i], own_ref, dz, dy, spec, zwrap)
-        hitf = jnp.where(r2p < r2cut, 1.0, 0.0)
-        cnt += hitf.sum(axis=-1)  # per-row reduce
-        for w, (lo, hi) in enumerate(halves):
-            lo_s = jnp.sum(hitf * lo, axis=1).astype(jnp.int32)
-            hi_s = jnp.sum(hitf * hi, axis=1).astype(jnp.int32)
-            outm_ref[i * words + w, 0] = lo_s + (hi_s << 16)
+        hit = r2p < r2cut
+        cnt += jnp.where(hit, 1.0, 0.0).sum(axis=-1)  # per-row reduce
+        hw = jnp.where(hit, wq, 0.0)  # (mc, cap, 3cap) weighted hits
+        for w in range(words):
+            lo0, lo1 = MASK_BITS * w, min(MASK_BITS * w + 16, cap)
+            hi0, hi1 = MASK_BITS * w + 16, min(MASK_BITS * w + 32, cap)
+            acc = jnp.sum(hw[:, lo0:lo1, :], axis=1).astype(jnp.int32)
+            if hi1 > hi0:  # the word's high half exists (cap > 32w+16)
+                hi_s = jnp.sum(hw[:, hi0:hi1, :], axis=1).astype(jnp.int32)
+                acc = acc + (hi_s << 16)
+            outm_ref[i * words + w, 0] = acc
     outc_ref[0] = cnt
 
 
