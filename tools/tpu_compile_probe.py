@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -29,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--cap", type=int, default=32)
+    ap.add_argument("--kernels", action="store_true",
+                    help="Mosaic-vs-XLA split: cold-compile single-"
+                         "pallas_call programs under a throwaway cache")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", flush=True)
@@ -67,6 +71,48 @@ def main():
         print(f"{name:28s} lower {t1-t0:6.1f}s  compile {t2-t1:6.1f}s  "
               f"first-exec {t3-t2:6.1f}s", flush=True)
         return out
+
+    if args.kernels:
+        # Mosaic-vs-XLA split: single-pallas_call programs, compiled under
+        # a throwaway cache dir so every row is a true cold compile. If
+        # these sum to ~the engine programs' compile times, the cost is
+        # Mosaic kernel compilation (per custom call, re-paid by every
+        # XLA program embedding the kernel); if they are small, the cost
+        # is XLA's global passes over the scan/cond graph.
+        import tempfile
+
+        from md_neighbor_list_tpu.ops import pallas_force
+
+        jax.config.update("jax_compilation_cache_dir",
+                          tempfile.mkdtemp(prefix="nocache_"))
+        valid = state.valid().astype(jnp.float32)
+
+        def k_force(pos4, v):
+            return pallas_force.dense_forces_half(pos4, v, sim.spec,
+                                                  cfg.rc)
+
+        def k_counts(pos4, v):
+            return pallas_force.dense_counts_half(pos4, v, sim.spec,
+                                                  cfg.rs)
+
+        def k_lists(pos4, v):
+            return pallas_force.dense_lists_half(pos4, v, sim.spec,
+                                                 cfg.rs)
+
+        for name, fn in [("force kernel only", k_force),
+                         ("counts kernel only", k_counts),
+                         ("lists kernel only", k_lists)]:
+            phase(name, jax.jit(fn), state.pos, valid)
+
+        # the same shapes/math with zero pallas calls — XLA-only cost
+        from md_neighbor_list_tpu.ops import dense_ref
+
+        def k_jnp_force(st):
+            return dense_ref.sweep_reference(st, sim.spec, cfg.rc, True)
+
+        phase("jnp force (no pallas)", jax.jit(k_jnp_force), state)
+        print("PROBE OK", flush=True)
+        return
 
     carry = phase("initial_build", sim._initial_build, state)
     phase("run_chunk(50)", sim._run_chunk, carry, 50, n_static=1)
