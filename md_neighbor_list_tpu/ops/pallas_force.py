@@ -4,28 +4,33 @@ These are the performance kernels of the engine (SURVEY.md §3 R5-R8 + R10
 collapsed into one kernel family; BASELINE.json:5 "27-cell pair sweep ...
 as Pallas kernels"). Division of labor:
 
-  XLA (per call): build the x-axis candidate WINDOW arrays — for every cell,
-  the lane-concatenation of its dx=-1/0/+1 cells' data with the x-periodic
-  image shifts baked in (XLA relayouts/concats freely; Mosaic cannot
-  lane-concatenate vectors with mismatched offsets).
+  XLA (per call): PARK the state (park_state — one fused select/transpose
+  producing the row-major parked layout; invalid slots move to the park
+  lattice so kernels need no validity masks).
 
   Pallas: the HALF-SWEEP kernels (the hot path) run a MERGED grid (z, y)
   with all five (dz, dy) offset rows unrolled in-kernel — the per-program
   fixed cost (~2 us: launch + block bookkeeping) made the round-1
   one-offset-per-program grid pay ~10 ms of pure overhead per pass at
-  N=1M. Intermediate temporaries are freed between unrolled rows because
-  each row's outputs are written (or accumulated) before the next row
-  starts. The FULL-sweep parity kernels keep k on the grid with
-  k-revisited output blocks (the canonical revisit-accumulate pattern) —
-  they are untimed validation passes. All pair math is masked VPU work:
-  no gathers, no scatters, no compaction (the reference's AVX-512
-  compress-store becomes masking over fixed lanes, SURVEY.md §9).
+  N=1M. Each kernel fetches raw (3, mc, cap) state blocks and builds its
+  dx=-1/0/+1 candidate WINDOWS in-kernel (_window_from_block: two sublane
+  rolls + a lane concat in VMEM) — round 2 materialized an (R, 3, mc,
+  3cap) window array per pass in XLA, paying a 2.6 ms transpose/concat
+  pass and 3x the block DMA at N=1M. Intermediate temporaries are freed
+  between unrolled rows because each row's outputs are written (or
+  accumulated) before the next row starts. The FULL-sweep parity kernels
+  keep the XLA make_windows path with k on the grid and k-revisited
+  output blocks — they are untimed validation passes. All pair math is
+  masked VPU work: no gathers, no scatters, no compaction (the
+  reference's AVX-512 compress-store becomes masking over fixed lanes,
+  SURVEY.md §9).
 
 The half-sweep list kernel (dense_lists_half) emits packed cluster
 bitmasks plus half counts in one pass — a complete, consumable pair list
 in cluster-compressed form (cf. GROMACS cluster lists, PAPERS.md:9); the
 half-sweep force kernel (dense_forces_half) evaluates each pair once and
-scatters the Newton-3 reaction via per-offset output channels + XLA rolls.
+writes the Newton-3 reaction AT the partner row via shifted output
+BlockSpec index_maps (no scatter, no rolls — the caller just sums).
 """
 
 from __future__ import annotations
@@ -256,6 +261,121 @@ def _win_specs_merged(spec: DenseSpec):
     return specs
 
 
+def park_state(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
+               spec) -> jnp.ndarray:
+    """(R, 3, mc, cap) row-major PARKED state: invalid slots moved to the
+    park lattice (same lattice and guarantees as make_windows — see its
+    docstring for the f32-exactness analysis). The half-sweep kernels
+    fetch these blocks directly and build their x-windows IN-KERNEL
+    (roll+concat on VMEM blocks, `_window_from_block`), which deletes the
+    materialized (R, 3, mc, 3cap) window array: no transpose/concat XLA
+    pass (2.6 ms/step at N=1M) and 3x less window DMA per program."""
+    mc, cap, L = spec.mc, spec.cap, spec.L
+    step = jnp.float32(2.0 * spec.cell_size)
+    base = jnp.float32(1.0e5)
+    lane_id = (jnp.arange(mc, dtype=jnp.float32)[None, :, None] * cap
+               + jnp.arange(cap, dtype=jnp.float32)[None, None, :])
+    row_id = jnp.arange(spec.rows, dtype=jnp.float32)[:, None, None]
+    shape = (spec.rows, mc, cap)
+    park3 = jnp.stack([
+        jnp.broadcast_to(base + lane_id * step, shape),
+        jnp.broadcast_to(base + row_id * step, shape),
+        jnp.broadcast_to(base, shape),
+    ])
+    w3 = jnp.where(valid_f32[None] > 0.5, pos4, park3)
+    return jnp.transpose(w3, (1, 0, 2, 3))
+
+
+def _state_specs_merged(spec):
+    """One (1, 3, mc, cap) parked-state BlockSpec per half offset row on
+    the merged (z, y) grid — the in-kernel-window twin of
+    _win_specs_merged (same row index maps, cap-wide blocks)."""
+    mc = spec.mc
+    shape = (1, 3, mc, spec.cap)
+    specs = []
+    for dz, dy in HALF_OFFSETS5:
+        def m(z, y, dz=dz, dy=dy):
+            return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
+        specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
+    return specs
+
+
+WINDOW_SCRATCH = 2  # (mc, cap) VMEM scratch refs every half kernel carries
+
+
+def _window_scratch(spec):
+    """scratch_shapes entry for _window_from_block's layout round-trips."""
+    shape = (spec.mc, spec.cap)
+    return [pltpu.VMEM(shape, jnp.float32) for _ in range(WINDOW_SCRATCH)]
+
+
+def _window_from_block(b3, spec, scr):
+    """(3, mc, cap) parked-state block -> (wx, wy, wz) x-window rows of
+    shape (mc, 3cap): lane segments [dx=-1 | dx=0 | dx=+1] via two
+    x-cell (sublane) rolls + lane concat, with the +-L x-image shifts on
+    the x channel at the wrap sublanes — bit-identical to make_windows'
+    XLA rolls, built in VMEM per program instead of materialized in HBM.
+
+    ``scr`` = two (mc, cap) VMEM scratch refs: each rolled segment
+    round-trips through one before the concat, because tpu.concatenate
+    cannot relayout inputs whose SUBLANE offsets disagree (pltpu.roll
+    leaves a non-zero offset on the mc-1 shift; real Mosaic rejects the
+    direct concat with "result/input offset mismatch on non-concat
+    dimension" while interpret mode accepts it — a store normalizes the
+    layout; of the three working constructions this one measured
+    fastest, tools/tpu_concat_probe.py)."""
+    mc, cap = spec.mc, spec.cap
+    L = jnp.float32(spec.L)
+    xcell = jax.lax.broadcasted_iota(jnp.int32, (mc, cap), 0)
+    sh_m = jnp.where(xcell == 0, -L, 0.0)
+    sh_p = jnp.where(xcell == mc - 1, L, 0.0)
+    scr_l, scr_r = scr
+    outs = []
+    for c in range(3):
+        b = b3[c]
+        scr_l[...] = pltpu.roll(b, 1, axis=0)
+        scr_r[...] = pltpu.roll(b, mc - 1, axis=0)
+        left = scr_l[...]
+        right = scr_r[...]
+        if c == 0:
+            left = left + sh_m
+            right = right + sh_p
+        outs.append(jnp.concatenate([left, b, right], axis=-1))
+    return tuple(outs)
+
+
+def _pair_geom_win(win, own, dz: int, dy: int, spec, zwrap: bool = True):
+    """Value-based twin of _pair_geom_static: ``win`` = (wx, wy, wz)
+    window rows from _window_from_block, ``own`` = the (3, mc, cap) own
+    parked-state block. Same static periodic shifts, same center-row
+    Newton dedup penalty, bit-identical r2p."""
+    mc = spec.mc
+    z = pl.program_id(0)
+    y = pl.program_id(1)
+    fL = jnp.float32(spec.L)
+    xi = own[0][:, :, None]
+    yi = own[1][:, :, None]
+    zi = own[2][:, :, None]
+    wx, wy, wz = win
+    xj = wx[:, None, :]
+    yj = wy[:, None, :]
+    zj = wz[:, None, :]
+    if dy == 1:
+        yj = yj + jnp.where(y + 1 >= mc, fL, 0.0)
+    elif dy == -1:
+        yj = yj + jnp.where(y - 1 < 0, -fL, 0.0)
+    if zwrap and dz == 1:
+        zj = zj + jnp.where(z + 1 >= mc, fL, 0.0)
+
+    dxv = xi - xj
+    dyv = yi - yj
+    dzv = zi - zj
+    r2p = dxv * dxv + dyv * dyv + dzv * dzv
+    if (dz, dy) == (0, 0):
+        r2p = r2p + _half_center_penalty(spec)
+    return r2p, dxv, dyv, dzv
+
+
 def _half_center_penalty(spec: DenseSpec):
     """(1, cap, 3cap) f32 penalty for the (0,0) offset of the half sweep:
     excludes the dx=-1 segment entirely and keeps only lane > slot in the
@@ -372,19 +492,25 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
     unordered pair is EVALUATED once (5/9 of the full sweep's work) and
     contributes to both partners.
 
-    Output channel layout, uniform across group sizes: channels 0-2 hold
-    the own row's force from this group's rows, INCLUDING the (0,0) row's
-    reaction when 0 is in ``ks`` (its partner row is the own row, so it
-    folds in-kernel); then 3 reaction channels per k != 0 in ``ks`` order
-    — the reaction on the (z+dz, y+dy) partner row, already folded from
-    window lanes to partner-cell x slots; the once-per-pair potential
-    last when ``want_pe``. The caller re-homes reactions with (dz, dy)
-    rolls — regular XLA ops, no scatter (the TPU answer to the
-    reference's Newton-3 scatter-add, SURVEY.md §9)."""
+    Output layout, uniform across group sizes: out_refs[0] (3, 1, mc, cap)
+    holds the own row's force from this group's rows, INCLUDING the (0,0)
+    row's reaction when 0 is in ``ks`` (its partner row is the own row, so
+    it folds in-kernel); then one (3, 1, mc, cap) ref per k != 0 in ``ks``
+    order — the NEGATED reaction on the (z+dz, y+dy) partner row, already
+    folded from window lanes to partner-cell x slots and written AT the
+    partner row by the output BlockSpec index_map (an injection per
+    offset, so no block is written twice); the once-per-pair potential
+    last when ``want_pe``. Re-homing by output index_map replaces round
+    2's caller-side (dz, dy) jnp.rolls — no rotated copies materialize,
+    the caller only SUMS the arrays: measured 22.6 -> 18.9 ms/step at
+    N=1M cap=40, bitwise-equal forces (tools/tpu_step_opt_probe.py). This
+    is the TPU answer to the reference's Newton-3 scatter-add
+    (SURVEY.md §9)."""
     n = len(ks)
     nbr_refs = refs[:n]
     own_ref = refs[n]
-    out_ref = refs[n + 1]
+    out_refs = refs[n + 1:-WINDOW_SCRATCH]
+    scr = refs[-WINDOW_SCRATCH:]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
@@ -397,12 +523,15 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
     # reductions per program instead of 15 (measured 24.2 vs 25.0 ms at
     # N=1M). Newton-3 folds always reduce over SUBLANES (cheap adds)
     # into small (mc, 3cap) rows.
+    own_blk = own_ref[0]  # (3, mc, cap) parked-state block
     acc = None
     rxn_rows = []
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        r2p, dxv, dyv, dzv = _pair_geom_static(
-            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+                                 spec, scr)
+        r2p, dxv, dyv, dzv = _pair_geom_win(
+            win, own_blk, dz, dy, spec, zwrap)
         hit = r2p < r2cut
         # LJ force magnitude / |dr| — formula of ops.common (R10). Hot
         # path: hardware approximate reciprocal + TWO Newton steps (one
@@ -432,48 +561,64 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
             acc = [a + p for a, p in zip(acc, [px, py, pz, u][: len(acc)])]
 
     own = [jnp.sum(a, axis=-1) for a in acc]  # fx, fy, fz (+ pe)
-    ch = 3
+    if 0 in ks:
+        k0 = ks.index(0)
+        for c in range(3):
+            out_refs[0][c, 0] = own[c] - _fold_rxn(rxn_rows[k0][c], mc, cap)
+    else:
+        for c in range(3):
+            out_refs[0][c, 0] = own[c]
+    ri = 1
     for j, k in enumerate(ks):
         if k == 0:
             continue
-        out_ref[ch, 0] = -_fold_rxn(rxn_rows[j][0], mc, cap)
-        out_ref[ch + 1, 0] = -_fold_rxn(rxn_rows[j][1], mc, cap)
-        out_ref[ch + 2, 0] = -_fold_rxn(rxn_rows[j][2], mc, cap)
-        ch += 3
-    if 0 in ks:
-        k0 = ks.index(0)
-        out_ref[0, 0] = own[0] - _fold_rxn(rxn_rows[k0][0], mc, cap)
-        out_ref[1, 0] = own[1] - _fold_rxn(rxn_rows[k0][1], mc, cap)
-        out_ref[2, 0] = own[2] - _fold_rxn(rxn_rows[k0][2], mc, cap)
-    else:
-        out_ref[0, 0] = own[0]
-        out_ref[1, 0] = own[1]
-        out_ref[2, 0] = own[2]
+        for c in range(3):
+            out_refs[ri][c, 0] = -_fold_rxn(rxn_rows[j][c], mc, cap)
+        ri += 1
     if want_pe:
-        out_ref[ch, 0] = own[3]
+        out_refs[ri][0] = own[3]
 
 
 def _call_force_group(windows, spec, rc, want_pe, interpret, zwrap, ks,
-                      win_specs, grid, out_rows):
+                      win_specs, grid, out_rows, rxn_out):
     """One row group's force pass as its own pallas_call (one group of a
     ``_row_groups`` plan; the merged kernel is the single group of five).
     ``grid``/``out_rows`` come from the caller ((mc, mc)/spec.rows for the
     cube; (nz, mc)/owned rows for a slab whose windows carry the ghost
-    layer)."""
+    layer). ``rxn_out(k) -> (index_map, n_rows)`` gives each reaction
+    array's partner-row output map — periodic for the cube, ext-rows
+    (ghost layer = the seam, first layer UNWRITTEN) for the slab; blocks
+    no program maps to are undefined and the caller must not read them.
+
+    Returns ``[own, rxn_k1, ..., pe?]`` — the caller sums them (plain
+    adds; the re-homing already happened at write time via the maps)."""
     mc, cap = spec.mc, spec.cap
-    nch = 3 + 3 * sum(1 for k in ks if k != 0) + (1 if want_pe else 0)
+    out_specs = [pl.BlockSpec((3, 1, mc, cap),
+                              lambda z, y: (0, z * mc + y, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((3, out_rows, mc, cap), jnp.float32)]
+    for k in ks:
+        if k == 0:
+            continue
+        m, rows = rxn_out(k)
+        out_specs.append(pl.BlockSpec((3, 1, mc, cap), m,
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((3, rows, mc, cap), jnp.float32))
+    if want_pe:
+        out_specs.append(pl.BlockSpec((1, mc, cap),
+                                      lambda z, y: (z * mc + y, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((out_rows, mc, cap), jnp.float32))
     return pl.pallas_call(
         functools.partial(_force_half_kernel, spec=spec, rc=rc,
                           want_pe=want_pe, zwrap=zwrap, ks=tuple(ks)),
         grid=grid,
         in_specs=[win_specs[k] for k in ks] + [win_specs[0]],
-        out_specs=pl.BlockSpec(
-            (nch, 1, mc, cap), lambda z, y: (0, z * mc + y, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (nch, out_rows, mc, cap), jnp.float32
-        ),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=_window_scratch(spec),
         interpret=interpret,
     )(*([windows] * len(ks)), windows)
 
@@ -488,35 +633,37 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
     Runs one pallas_call per ``_row_groups`` group (a single merged call
     where the live set fits — every shape up to N=1M; grouped calls at
-    N=8M shapes). Reaction partials come back on per-offset output
-    channels, computed by row (z, y) FOR row (z+dz, y+dy) — a periodic
-    (dz, dy) roll re-homes them: regular XLA ops, ~0.2 ms of HBM traffic
-    at N=1M vs the ~1.8x kernel saving of the half sweep.
+    N=8M shapes). Reaction partials are computed by row (z, y) FOR row
+    (z+dz, y+dy) and written AT the partner row by each reaction array's
+    output index_map — the caller only sums the arrays (one fused
+    elementwise pass; round 2's jnp.roll re-homing materialized rotated
+    copies and cost 3.7 ms/step more at N=1M, tools/tpu_step_opt_probe.py).
 
     Unlike ``dense_forces`` (full symmetric sweep), the per-slot PE here is
     attributed ONCE per pair to the lexicographically-lower slot: total
     PE = sum(pe * valid), no halving."""
     mc, cap = spec.mc, spec.cap
-    windows = make_windows(pos4, valid_f32, spec)
-    specs = _win_specs_merged(spec)
+    windows = park_state(pos4, valid_f32, spec)
+    specs = _state_specs_merged(spec)
+
+    def rxn_out(k):
+        dz, dy = HALF_OFFSETS5[k]
+        return (lambda z, y: (0, ((z + dz) % mc) * mc + ((y + dy) % mc),
+                              0, 0), spec.rows)
+
     force = None
     pe = None
     for ks in _row_groups(spec, want_pe):
-        out = _call_force_group(windows, spec, rc, want_pe, interpret,
-                                True, ks, specs, (mc, mc), spec.rows)
-        f = out[:3]
-        ch = 3
-        for k in ks:
-            if k == 0:
-                continue  # folded into channels 0-2 in-kernel
-            dz, dy = HALF_OFFSETS5[k]
-            r = out[ch:ch + 3].reshape(3, mc, mc, mc, cap)
-            f = f + jnp.roll(r, (dz, dy), axis=(1, 2)).reshape(
-                3, spec.rows, mc, cap)
-            ch += 3
+        outs = _call_force_group(windows, spec, rc, want_pe, interpret,
+                                 True, ks, specs, (mc, mc), spec.rows,
+                                 rxn_out)
+        f = outs[0]
+        n_rxn = sum(1 for k in ks if k != 0)
+        for r in outs[1:1 + n_rxn]:
+            f = f + r
         force = f if force is None else force + f
         if want_pe:
-            pe = out[ch] if pe is None else pe + out[ch]
+            pe = outs[-1] if pe is None else pe + outs[-1]
     return force, pe
 
 
@@ -526,6 +673,7 @@ def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     nbr_refs = refs[:n]
     own_ref = refs[n]
     out_ref = refs[n + 1]
+    scr = refs[n + 2:n + 2 + WINDOW_SCRATCH]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(radius * radius)
     # accumulate in f32 (exact for counts < 2^24; i32 vector ops are slower
@@ -534,11 +682,13 @@ def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     # (measured 7.1 vs 8.2 ms at N=1M — reduces run in registers, an
     # accumulator add pays VMEM read+write of the wide array), the
     # opposite trade from the force kernel's three components.
+    own_blk = own_ref[0]
     cnt = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        r2p, _, _, _ = _pair_geom_static(
-            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+                                 spec, scr)
+        r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         cnt += jnp.where(r2p < r2cut, 1.0, 0.0).sum(axis=-1)
     out_ref[0] = cnt
 
@@ -552,8 +702,8 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     the fast counting pass (merged grid: 7.1 ms at N=1M vs 16.9 on the
     round-1 k-grid)."""
     mc, cap = spec.mc, spec.cap
-    windows = make_windows(pos4, valid_f32, spec)
-    specs = _win_specs_merged(spec)
+    windows = park_state(pos4, valid_f32, spec)
+    specs = _state_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
               if _split_rows(spec, kind="counts")
               else [(0, 1, 2, 3, 4)])
@@ -569,6 +719,7 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((spec.rows, mc, cap),
                                            jnp.float32),
+            scratch_shapes=_window_scratch(spec),
             interpret=interpret,
         )(*([windows] * len(ks)), windows)
         counts = c if counts is None else counts + c
@@ -588,16 +739,19 @@ def _pe_virial_half_kernel(*refs, spec, rc: float, zwrap: bool = True,
     own_ref = refs[n]
     outp_ref = refs[n + 1]
     outw_ref = refs[n + 2]
+    scr = refs[n + 3:n + 3 + WINDOW_SCRATCH]
     mc, cap = spec.mc, spec.cap
     r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
     ushift = 4.0 * (s6c * s6c - s6c)
+    own_blk = own_ref[0]
     pe = jnp.zeros((mc, cap), jnp.float32)
     w = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        r2p, _, _, _ = _pair_geom_static(
-            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+                                 spec, scr)
+        r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         hit = r2p < r2cut
         s2 = 1.0 / r2p  # exact divide: diagnostics are reference-exact
         s6 = s2 * s2 * s2
@@ -616,8 +770,8 @@ def dense_pe_virial(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     ``DenseSimulator.thermo`` — reuses the half-sweep geometry and the
     counts kernel's split policy."""
     mc, cap = spec.mc, spec.cap
-    windows = make_windows(pos4, valid_f32, spec)
-    specs = _win_specs_merged(spec)
+    windows = park_state(pos4, valid_f32, spec)
+    specs = _state_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
               if _split_rows(spec, kind="counts")
               else [(0, 1, 2, 3, 4)])
@@ -639,6 +793,7 @@ def dense_pe_virial(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
                 jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
                 jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
             ],
+            scratch_shapes=_window_scratch(spec),
             interpret=interpret,
         )(*([windows] * len(ks)), windows)
         pe = p if pe is None else pe + p
@@ -669,6 +824,7 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     own_ref = refs[n]
     outm_ref = refs[n + 1]
     outc_ref = refs[n + 2]
+    scr = refs[n + 3:n + 3 + WINDOW_SCRATCH]
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
     r2cut = jnp.float32(radius * radius)
@@ -695,11 +851,13 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     # of f32 rate).
     slot1 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
     wq = (jnp.int32(1) << (slot1 % 16)).astype(jnp.float32)
+    own_blk = own_ref[0]
     cnt = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        r2p, _, _, _ = _pair_geom_static(
-            nbr_refs[i], own_ref, dz, dy, spec, zwrap)
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+                                 spec, scr)
+        r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         hit = r2p < r2cut
         cnt += jnp.where(hit, 1.0, 0.0).sum(axis=-1)  # per-row reduce
         hw = jnp.where(hit, wq, 0.0)  # (mc, cap, 3cap) weighted hits
@@ -733,9 +891,10 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
     One kernel pass emits both (one pass per offset row at _split_rows
     shapes); ~half the full sweep's pair evals."""
-    windows = make_windows(pos4, valid_f32, spec)
-    return lists_half_impl(windows, spec, (spec.mc, spec.mc),
-                           _win_specs_merged(spec), radius, True, interpret)
+    parked = park_state(pos4, valid_f32, spec)
+    return lists_half_impl(parked, spec, (spec.mc, spec.mc),
+                           _state_specs_merged(spec), radius, True,
+                           interpret)
 
 
 def lists_half_impl(windows, spec, grid, specs, radius: float, zwrap: bool,
@@ -772,6 +931,7 @@ def lists_half_impl(windows, spec, grid, specs, radius: float, zwrap: bool,
                                      jnp.int32),
                 jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
             ],
+            scratch_shapes=_window_scratch(spec),
             interpret=interpret,
         )(*([windows] * len(ks)), windows)
         mask_parts.append(m)

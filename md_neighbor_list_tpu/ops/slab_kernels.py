@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from md_neighbor_list_tpu.ops import pallas_force
 from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
 from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
-                                                   make_windows)
+                                                   park_state)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,12 +73,14 @@ class SlabSpec:
         return dataclasses.replace(self, nz=self.nz + 1)
 
 
-def _slab_win_specs_merged(spec: SlabSpec):
-    """One BlockSpec per half offset row over the EXTENDED window array:
-    merged grid (nz, mc); z indexes owned layers, never wraps (dz=1 from
-    the last owned layer lands on the ghost layer); y wraps mod mc."""
+def _slab_state_specs_merged(spec: SlabSpec):
+    """One (1, 3, mc, cap) parked-state BlockSpec per half offset row
+    over the EXTENDED state array (kernels build x-windows in-kernel, see
+    pallas_force._window_from_block): merged grid (nz, mc); z indexes
+    owned layers, never wraps (dz=1 from the last owned layer lands on
+    the ghost layer); y wraps mod mc."""
     mc = spec.mc
-    shape = (1, 3, mc, 3 * spec.cap)
+    shape = (1, 3, mc, spec.cap)
     specs = []
     for dz, dy in HALF_OFFSETS5:
         def m(z, y, dz=dz, dy=dy):
@@ -102,39 +104,44 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     layer — ppermute it right and add to the receiver's first layer.
     PE is attributed once per pair to the evaluating device's own slot."""
     mc, cap, nz = spec.mc, spec.cap, spec.nz
-    windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
-    specs = _slab_win_specs_merged(spec)
+    windows = park_state(ext_pos, ext_valid_f32, spec.ext())
+    specs = _slab_state_specs_merged(spec)
 
-    def rehome(force, seam, r, dz, dy):
-        """Reaction rows computed by layer z FOR (z+dz, y+dy): y rolls
-        periodically (full box); the last owned layer's dz=1 share crosses
-        the slab face (the seam), the rest re-homes locally."""
-        if dy != 0:
-            r = jnp.roll(r, dy, axis=2)
-        if dz == 0:
-            return force + r, seam
-        return force.at[:, 1:].add(r[:, : nz - 1]), seam + r[:, nz - 1]
+    def rxn_out(k):
+        """Reaction rows computed by layer z FOR (z+dz, y+dy), written at
+        the partner row by the output index_map: y wraps periodically
+        (full box); dz=1 writes into an EXT-rows array whose ghost layer
+        collects the seam (the share crossing the slab face) and whose
+        layer 0 no program writes — the assembly below never reads it."""
+        dz, dy = HALF_OFFSETS5[k]
+        rows = spec.rows + (mc if dz else 0)
+        return (lambda z, y: (0, (z + dz) * mc + (y + dy) % mc, 0, 0), rows)
 
     force = None
     seam = jnp.zeros((3, mc, mc, cap), jnp.float32)
     pe = None
     for ks in pallas_force._row_groups(spec, want_pe):
-        out = pallas_force._call_force_group(
+        outs = pallas_force._call_force_group(
             windows, spec, rc, want_pe, interpret, False, ks, specs,
-            (nz, mc), spec.rows)
-        # channels 0-2: own force incl. the (0,0) row's reaction (in-kernel)
-        f = out[:3].reshape(3, nz, mc, mc, cap)
-        ch = 3
+            (nz, mc), spec.rows, rxn_out)
+        # outs[0]: own force incl. the (0,0) row's reaction (in-kernel)
+        f = outs[0].reshape(3, nz, mc, mc, cap)
+        ri = 1
         for k in ks:
             if k == 0:
                 continue
-            dz, dy = HALF_OFFSETS5[k]
-            r = out[ch:ch + 3].reshape(3, nz, mc, mc, cap)
-            f, seam = rehome(f, seam, r, dz, dy)
-            ch += 3
+            dz, _dy = HALF_OFFSETS5[k]
+            r = outs[ri]
+            ri += 1
+            if dz == 0:
+                f = f + r.reshape(3, nz, mc, mc, cap)
+            else:
+                re = r.reshape(3, nz + 1, mc, mc, cap)
+                f = f.at[:, 1:].add(re[:, 1:nz])
+                seam = seam + re[:, nz]
         force = f if force is None else force + f
         if want_pe:
-            pe = out[ch] if pe is None else pe + out[ch]
+            pe = outs[-1] if pe is None else pe + outs[-1]
     return (force.reshape(3, spec.rows, mc, cap), seam,
             pe.reshape(spec.rows, mc, cap) if want_pe else None)
 
@@ -147,9 +154,9 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     the lower slab) — global pairs = psum of sum(counts * valid). Masks
     are slot-packed, matching dense_lists_half's format (the emission body
     is literally shared: pallas_force.lists_half_impl)."""
-    windows = make_windows(ext_pos, ext_valid_f32, spec.ext())
+    parked = park_state(ext_pos, ext_valid_f32, spec.ext())
     return pallas_force.lists_half_impl(
-        windows, spec, (spec.nz, spec.mc), _slab_win_specs_merged(spec),
+        parked, spec, (spec.nz, spec.mc), _slab_state_specs_merged(spec),
         radius, False, interpret,
     )
 
