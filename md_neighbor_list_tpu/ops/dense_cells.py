@@ -77,6 +77,44 @@ def grow_cap(cap: int) -> int:
     return ((cap + max(8, cap // 4) + 7) // 8) * 8
 
 
+def park_lattice(spec) -> jnp.ndarray:
+    """(3, R, mc, cap) park positions for empty slots — the single source
+    of the park geometry (pallas_force.make_windows documents the
+    f32-exactness and no-alias analysis). The x channel separates slots
+    within a cell row, the y channel separates rows, z is constant; any
+    two parked slots that can meet in a sweep window differ by >= 2*cell
+    in x or y, so no padding pair can ever enter the cutoff.
+
+    THE PARK INVARIANT (round 3): every engine-visible DenseState keeps
+    its empty slots AT these positions with zero velocity — established
+    by the rebuilds (in-kernel in _expand_kernel; park_positions for the
+    jnp/incremental producers) and preserved by the integrator exactly
+    (parked slots receive exactly-zero force, so v stays 0 and the park
+    persists bitwise). The half-sweep kernels therefore consume the raw
+    state with NO validity select and no per-pass park materialization
+    (the round-2 design re-parked 20.6 MB per pass at N=1M)."""
+    mc, cap = spec.mc, spec.cap
+    step = jnp.float32(2.0 * spec.cell_size)
+    base = jnp.float32(1.0e5)
+    lane_id = (jnp.arange(mc, dtype=jnp.float32)[None, :, None] * cap
+               + jnp.arange(cap, dtype=jnp.float32)[None, None, :])
+    row_id = jnp.arange(spec.rows, dtype=jnp.float32)[:, None, None]
+    shape = (spec.rows, mc, cap)
+    return jnp.stack([
+        jnp.broadcast_to(base + lane_id * step, shape),
+        jnp.broadcast_to(base + row_id * step, shape),
+        jnp.broadcast_to(base, shape),
+    ])
+
+
+def park_positions(pos4: jnp.ndarray, valid: jnp.ndarray,
+                   spec) -> jnp.ndarray:
+    """Restore the park invariant at XLA level — for state producers that
+    do not park in-kernel (rebuild_reference, the incremental merge,
+    from_packed)."""
+    return jnp.where(valid[None], pos4, park_lattice(spec))
+
+
 def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
     mc = max(int(box.L / rs), 1)
     if mc < 3:
@@ -92,7 +130,8 @@ def make_spec(box: Box, rs: float, cap: int = 32) -> DenseSpec:
 class DenseState(NamedTuple):
     """Dense-slot particle state. ``pos``/``vel`` are component-major
     (3, R, mc, cap) so kernels slice clean (mc, cap) planes; ``pid`` < 0
-    marks an empty slot (its pos is junk-but-finite, its vel is zero)."""
+    marks an empty slot (its pos is ON THE PARK LATTICE — see
+    park_lattice's "park invariant" note — and its vel is zero)."""
 
     pos: jnp.ndarray  # (3, R, mc, cap) f32
     vel: jnp.ndarray  # (3, R, mc, cap) f32
@@ -238,10 +277,22 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (gm, cap), 1)
     slot_valid = slot_iota < jnp.minimum(length, cap)
 
+    # empty slots: positions go to the park lattice (park_lattice — the
+    # park invariant lets every downstream kernel skip validity selects),
+    # velocities to zero so the park persists under the integrator.
+    base = jnp.float32(1.0e5)
+    stepp = jnp.float32(2.0 * spec.cell_size)
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (gm, cap), 0)
+    x_cell = jax.lax.rem(rowg, mc)
+    g_row = r * G + rowg // mc  # global (z, y) row of this block row
+    park = (
+        base + (x_cell * cap + slot_iota).astype(jnp.float32) * stepp,
+        base + g_row.astype(jnp.float32) * stepp,
+        jnp.broadcast_to(base, (gm, cap)),
+    )
     for comp in range(6):  # x, y, z, vx, vy, vz
         d = redistribute(win2[slot, comp : comp + 1, :])
-        if comp >= 3:  # velocities of empty slots must be zero
-            d = jnp.where(slot_valid, d, 0.0)
+        d = jnp.where(slot_valid, d, park[comp] if comp < 3 else 0.0)
         out_f32[comp] = d.reshape(G, mc, cap)
     pid = redistribute(win2[slot, 6:7, :]).astype(jnp.int32)
     out_pid[...] = jnp.where(slot_valid, pid, -1).reshape(G, mc, cap)
@@ -410,9 +461,12 @@ def from_packed(pos: jnp.ndarray, vel: jnp.ndarray, pid: jnp.ndarray,
         return flat.at[:n].set(a.astype(dtype))
 
     shape = (spec.rows, spec.mc, spec.cap)
-    pos4 = jnp.stack(
-        [fill(pos[:, i], 0.0, jnp.float32).reshape(shape) for i in range(3)]
-    )
+    park = park_lattice(spec)
+    pos4 = jnp.stack([
+        park[i].reshape(-1).at[:n].set(pos[:, i].astype(jnp.float32))
+        .reshape(shape)
+        for i in range(3)
+    ])
     vel4 = jnp.stack(
         [fill(vel[:, i], 0.0, jnp.float32).reshape(shape) for i in range(3)]
     )

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from md_neighbor_list_tpu.ops.common import (lj_force_scalar,
                                              lj_pair_virial, lj_potential)
-from md_neighbor_list_tpu.ops.dense_cells import DenseSpec, DenseState
+from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
+                                                   park_positions)
 
 OFFSETS27 = [
     (dz, dy, dx)
@@ -55,7 +56,10 @@ def rebuild_reference(state: DenseState, spec: DenseSpec) -> DenseState:
     vel = jnp.stack([place(state.vel[i].reshape(-1), 0.0, jnp.float32)
                      for i in range(3)])
     pid = place(state.pid.reshape(-1), -1, jnp.int32)
-    return DenseState(pos=pos, vel=vel, pid=pid)
+    # park invariant (see dense_cells.park_lattice): empty slots leave
+    # with park positions, matching the expand kernel's in-kernel park
+    return DenseState(pos=park_positions(pos, pid >= 0, spec), vel=vel,
+                      pid=pid)
 
 
 def _as5d(a: jnp.ndarray, spec: DenseSpec) -> jnp.ndarray:

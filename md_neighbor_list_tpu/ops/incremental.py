@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
                                                   _flat, cell_keys,
-                                                  sort_expand)
+                                                  sort_expand, park_positions)
 
 MOVER_G = 2          # cell rows per mover-expand program
 MOVER_WINDOW = 512   # mover-stream DMA window per G-row group (lanes)
@@ -263,6 +263,13 @@ def rebuild_dense_incremental(
 
     spid = jnp.where(stay, state.pid, jnp.int32(-1))
     merged = _merge(state, spid, movers, spec, interpret)
+    # restore the park invariant (dense_cells.park_lattice) at XLA level:
+    # the merge kernel fills vacated/empty slots with 0.0, and the wrap
+    # above corrupted the stayer-side park values; this path is the
+    # default-off incremental engine, so the extra select is off the
+    # production step
+    merged = merged._replace(
+        pos=park_positions(merged.pos, merged.valid(), spec))
     return merged, inc_overflow
 
 

@@ -4,9 +4,12 @@ These are the performance kernels of the engine (SURVEY.md §3 R5-R8 + R10
 collapsed into one kernel family; BASELINE.json:5 "27-cell pair sweep ...
 as Pallas kernels"). Division of labor:
 
-  XLA (per call): PARK the state (park_state — one fused select/transpose
-  producing the row-major parked layout; invalid slots move to the park
-  lattice so kernels need no validity masks).
+  XLA (per call): nothing. The state itself carries the park invariant
+  (dense_cells.park_lattice: empty slots parked, zero velocity —
+  established at rebuild, preserved exactly by the integrator), so the
+  hot kernels read the engine state directly with no validity masks, no
+  select pass, no relayout (round 3 first cut re-parked + transposed
+  20.6 MB per pass; park_state remains for probes/diagnostics).
 
   Pallas: the HALF-SWEEP kernels (the hot path) run a MERGED grid (z, y)
   with all five (dz, dy) offset rows unrolled in-kernel — the per-program
@@ -287,15 +290,20 @@ def park_state(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
 
 def _state_specs_merged(spec):
-    """One (1, 3, mc, cap) parked-state BlockSpec per half offset row on
-    the merged (z, y) grid — the in-kernel-window twin of
-    _win_specs_merged (same row index maps, cap-wide blocks)."""
+    """One (3, 1, mc, cap) state BlockSpec per half offset row on the
+    merged (z, y) grid — the in-kernel-window twin of _win_specs_merged.
+    The blocks read the engine's CHANNEL-LEADING (3, R, mc, cap) state
+    directly (three strided DMA segments per fetch — measured +0.3 ms per
+    pass vs contiguous row-major at N=1M, vs the 1.6 ms park/transpose
+    pass the direct read deletes). Validity comes from the park invariant
+    (dense_cells.park_lattice): empty slots are parked IN the state, so
+    the kernels take no validity mask at all."""
     mc = spec.mc
-    shape = (1, 3, mc, spec.cap)
+    shape = (3, 1, mc, spec.cap)
     specs = []
     for dz, dy in HALF_OFFSETS5:
         def m(z, y, dz=dz, dy=dy):
-            return (((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0, 0)
+            return (0, ((z + dz) % mc) * mc + ((y + dy) % mc), 0, 0)
         specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
     return specs
 
@@ -523,12 +531,12 @@ def _force_half_kernel(*refs, spec, rc: float, want_pe: bool,
     # reductions per program instead of 15 (measured 24.2 vs 25.0 ms at
     # N=1M). Newton-3 folds always reduce over SUBLANES (cheap adds)
     # into small (mc, 3cap) rows.
-    own_blk = own_ref[0]  # (3, mc, cap) parked-state block
+    own_blk = own_ref[:, 0]  # (3, mc, cap) parked-state block
     acc = None
     rxn_rows = []
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][:, 0],
                                  spec, scr)
         r2p, dxv, dyv, dzv = _pair_geom_win(
             win, own_blk, dz, dy, spec, zwrap)
@@ -631,6 +639,12 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     (BASELINE.json:9-10 "list reuse"/half lists realized on the dense
     layout). Returns (force (3, R, mc, cap), pe (R, mc, cap) | None).
 
+    CONTRACT: ``pos4`` must satisfy the park invariant (empty slots on
+    dense_cells.park_lattice) — every rebuild-produced state does, and
+    the integrator preserves it. ``valid_f32`` is unused on this path
+    (validity lives in the geometry); it is kept for signature stability
+    with the full-sweep diagnostics twins.
+
     Runs one pallas_call per ``_row_groups`` group (a single merged call
     where the live set fits — every shape up to N=1M; grouped calls at
     N=8M shapes). Reaction partials are computed by row (z, y) FOR row
@@ -643,7 +657,7 @@ def dense_forces_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     attributed ONCE per pair to the lexicographically-lower slot: total
     PE = sum(pe * valid), no halving."""
     mc, cap = spec.mc, spec.cap
-    windows = park_state(pos4, valid_f32, spec)
+    windows = pos4  # read directly under the park invariant
     specs = _state_specs_merged(spec)
 
     def rxn_out(k):
@@ -682,11 +696,11 @@ def _count_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     # (measured 7.1 vs 8.2 ms at N=1M — reduces run in registers, an
     # accumulator add pays VMEM read+write of the wide array), the
     # opposite trade from the force kernel's three components.
-    own_blk = own_ref[0]
+    own_blk = own_ref[:, 0]
     cnt = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][:, 0],
                                  spec, scr)
         r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         cnt += jnp.where(r2p < r2cut, 1.0, 0.0).sum(axis=-1)
@@ -702,7 +716,7 @@ def dense_counts_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     the fast counting pass (merged grid: 7.1 ms at N=1M vs 16.9 on the
     round-1 k-grid)."""
     mc, cap = spec.mc, spec.cap
-    windows = park_state(pos4, valid_f32, spec)
+    windows = pos4  # read directly under the park invariant
     specs = _state_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
               if _split_rows(spec, kind="counts")
@@ -744,12 +758,12 @@ def _pe_virial_half_kernel(*refs, spec, rc: float, zwrap: bool = True,
     r2cut = jnp.float32(rc * rc)
     s6c = jnp.float32((1.0 / (rc * rc)) ** 3)
     ushift = 4.0 * (s6c * s6c - s6c)
-    own_blk = own_ref[0]
+    own_blk = own_ref[:, 0]
     pe = jnp.zeros((mc, cap), jnp.float32)
     w = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][:, 0],
                                  spec, scr)
         r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         hit = r2p < r2cut
@@ -770,7 +784,7 @@ def dense_pe_virial(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     ``DenseSimulator.thermo`` — reuses the half-sweep geometry and the
     counts kernel's split policy."""
     mc, cap = spec.mc, spec.cap
-    windows = park_state(pos4, valid_f32, spec)
+    windows = pos4  # read directly under the park invariant
     specs = _state_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
               if _split_rows(spec, kind="counts")
@@ -851,11 +865,11 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     # of f32 rate).
     slot1 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
     wq = (jnp.int32(1) << (slot1 % 16)).astype(jnp.float32)
-    own_blk = own_ref[0]
+    own_blk = own_ref[:, 0]
     cnt = jnp.zeros((mc, cap), jnp.float32)
     for i, k in enumerate(ks):
         dz, dy = HALF_OFFSETS5[k]
-        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][0],
+        win = _window_from_block(own_blk if k == 0 else nbr_refs[i][:, 0],
                                  spec, scr)
         r2p, _, _, _ = _pair_geom_win(win, own_blk, dz, dy, spec, zwrap)
         hit = r2p < r2cut
@@ -891,8 +905,7 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
 
     One kernel pass emits both (one pass per offset row at _split_rows
     shapes); ~half the full sweep's pair evals."""
-    parked = park_state(pos4, valid_f32, spec)
-    return lists_half_impl(parked, spec, (spec.mc, spec.mc),
+    return lists_half_impl(pos4, spec, (spec.mc, spec.mc),
                            _state_specs_merged(spec), radius, True,
                            interpret)
 

@@ -32,9 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from md_neighbor_list_tpu.ops import pallas_force
-from md_neighbor_list_tpu.ops.dense_cells import DenseState, sort_expand
-from md_neighbor_list_tpu.ops.pallas_force import (HALF_OFFSETS5,
-                                                   park_state)
+from md_neighbor_list_tpu.ops.dense_cells import (DenseState,
+                                                  park_lattice, sort_expand)
+from md_neighbor_list_tpu.ops.pallas_force import HALF_OFFSETS5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,13 +80,33 @@ def _slab_state_specs_merged(spec: SlabSpec):
     owned layers, never wraps (dz=1 from the last owned layer lands on
     the ghost layer); y wraps mod mc."""
     mc = spec.mc
-    shape = (1, 3, mc, spec.cap)
+    shape = (3, 1, mc, spec.cap)
     specs = []
     for dz, dy in HALF_OFFSETS5:
         def m(z, y, dz=dz, dy=dy):
-            return ((z + dz) * mc + (y + dy) % mc, 0, 0, 0)
+            return (0, (z + dz) * mc + (y + dy) % mc, 0, 0)
         specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
     return specs
+
+
+def _repark_ghost(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
+                  spec: SlabSpec) -> jnp.ndarray:
+    """Re-park the ghost layer's EMPTY slots with ext-local row ids.
+
+    The park invariant parks each device's empty slots with DEVICE-LOCAL
+    row ids (dense_cells.park_lattice), so a received ghost layer carries
+    the sender's ids — and at nz=1 the sender's first-layer park y-values
+    coincide exactly with the receiver's own first layer's: two parked
+    slots would meet in the (dz=1, dy=0) window at r2 = 0 and emit NaN
+    forces. Re-parking the ghost rows at ext-local ids (rows nz*mc..)
+    restores the collision-free lattice the round-2 per-pass park had.
+    One tiny select over the ghost layer (1/(nz+1) of rows) per pass;
+    real ghost positions (and their seam shift) pass through untouched."""
+    rows = spec.rows
+    park_g = park_lattice(spec.ext())[:, rows:]
+    g = jnp.where(ext_valid_f32[rows:][None] > 0.5, ext_pos[:, rows:],
+                  park_g)
+    return jnp.concatenate([ext_pos[:, :rows], g], axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -104,7 +124,7 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     layer — ppermute it right and add to the receiver's first layer.
     PE is attributed once per pair to the evaluating device's own slot."""
     mc, cap, nz = spec.mc, spec.cap, spec.nz
-    windows = park_state(ext_pos, ext_valid_f32, spec.ext())
+    windows = _repark_ghost(ext_pos, ext_valid_f32, spec)
     specs = _slab_state_specs_merged(spec)
 
     def rxn_out(k):
@@ -154,9 +174,9 @@ def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
     the lower slab) — global pairs = psum of sum(counts * valid). Masks
     are slot-packed, matching dense_lists_half's format (the emission body
     is literally shared: pallas_force.lists_half_impl)."""
-    parked = park_state(ext_pos, ext_valid_f32, spec.ext())
     return pallas_force.lists_half_impl(
-        parked, spec, (spec.nz, spec.mc), _slab_state_specs_merged(spec),
+        _repark_ghost(ext_pos, ext_valid_f32, spec), spec,
+        (spec.nz, spec.mc), _slab_state_specs_merged(spec),
         radius, False, interpret,
     )
 

@@ -468,17 +468,22 @@ def test_park_lattice_f32_invariant_at_8m_shape():
 
 
 def test_all_invalid_slots_emit_nothing():
-    """A state with NO valid particles must produce zero counts and zero
-    mask bits — parked slots never pair with each other."""
+    """An all-empty state (every slot on the park lattice — the park
+    invariant's degenerate case) must produce zero counts and zero mask
+    bits: parked slots never pair with each other. Under the round-3
+    contract validity lives IN the state (dense_cells.park_lattice), so
+    the empty state is the lattice itself, not a mask over real
+    positions."""
     from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.dense_cells import park_lattice
 
-    _, spec, box, pos = _dense_state(key=2)
+    _, spec, _, _ = _dense_state(key=2)
     zero_valid = jnp.zeros((spec.rows, spec.mc, spec.cap), jnp.float32)
-    st, _, _, _ = _dense_state(key=2)
-    cnt = pallas_force.dense_counts_half(st.pos, zero_valid, spec, 2.8,
+    empty_pos = park_lattice(spec)
+    cnt = pallas_force.dense_counts_half(empty_pos, zero_valid, spec, 2.8,
                                          True)
     assert int(jnp.sum(cnt)) == 0
-    c_l, masks = pallas_force.dense_lists_half(st.pos, zero_valid, spec,
+    c_l, masks = pallas_force.dense_lists_half(empty_pos, zero_valid, spec,
                                                2.8, True)
     assert int(jnp.sum(c_l)) == 0
     assert int(jnp.sum(jnp.abs(masks))) == 0

@@ -84,14 +84,19 @@ def k_zeros_in(*refs):
             o[c, 0] = acc
 
 
+# NOTE (post-adoption): _state_specs_merged now reads the CHANNEL-LEADING
+# engine state directly (park invariant) — this probe passes the parked
+# state.pos verbatim.
+
+
 def k_zeros_in_win(*refs):
     nbr = refs[:5]
-    own = refs[5][0]
+    own = refs[5][:, 0]
     outs = refs[6:11]
     scr = refs[11:]
     acc = jnp.zeros((mc, cap), jnp.float32)
     for i in range(5):
-        wx, wy, wz = _window_from_block(own if i == 0 else nbr[i][0],
+        wx, wy, wz = _window_from_block(own if i == 0 else nbr[i][:, 0],
                                         spec, scr)
         acc = acc + (wx[:, :cap] + wy[:, cap:2 * cap]
                      + wz[:, 2 * cap:]) * 0.0
@@ -118,7 +123,7 @@ def timed(name, kernel, with_in, scratch):
             s = s + o
         return jnp.sum(s[0, 0, 0])
 
-    parked = park_state(st.pos, v32, spec)
+    parked = st.pos  # parked by the rebuild (park invariant)
 
     @jax.jit
     def chained(p):
