@@ -22,6 +22,7 @@ kernels) instead — this entry point is for library-style one-shot builds.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -36,9 +37,54 @@ def _as_box(box) -> Box:
     return box if isinstance(box, Box) else Box(L=float(box))
 
 
+def _dense_neighbor_list(pos, box: Box, radius: float, half: bool,
+                         k_cap: int | None):
+    """The dense-engine fast path: Pallas rebuild + one-pass half-list
+    kernel + host-side mask decode (native C++ walker). Same (idx, cnt)
+    contract as the XLA path — rows in caller order, sentinel N padding —
+    an order of magnitude faster at N >= ~1M on TPU where the XLA sweep's
+    gather-heavy build dominates. Capacity overflows (a cell holding more
+    than ``cap`` particles) are detected by slot-count conservation and
+    recovered by cap growth, never truncated (SURVEY.md §4.3)."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.decode import masks_to_padded
+    from md_neighbor_list_tpu.ops.dense_cells import (from_packed, grow_cap,
+                                                      make_spec,
+                                                      rebuild_dense)
+
+    n = int(pos.shape[0])
+    pid = jnp.arange(n, dtype=jnp.int32)
+    vel = jnp.zeros_like(pos)
+    interp = jax.default_backend() == "cpu"  # Pallas interpret mode on CPU
+    cap = 40  # production default occupancy envelope; grown on overflow
+    while True:
+        spec = make_spec(box, radius, cap)  # raises if mc < 3 (caller gates)
+        if n > spec.slots:
+            cap = grow_cap(cap)
+            continue
+        state, _ = rebuild_dense(from_packed(pos, vel, pid, spec), spec,
+                                 interp)
+        if int(jnp.sum(state.valid().astype(jnp.int32))) != n:
+            cap = grow_cap(cap)  # a cell run overflowed its slots
+            continue
+        _, masks = pallas_force.dense_lists_half(
+            state.pos, state.valid().astype(jnp.float32), spec, radius,
+            interp)
+        idx, cnt = masks_to_padded(masks, state.pid, spec, n=n, k_cap=k_cap,
+                                   full=not half)
+        return jnp.asarray(idx), jnp.asarray(cnt)
+
+
+# auto-crossover: below this N the XLA sweep's one-shot build is already
+# milliseconds and avoids the dense path's host-side decode; above it the
+# dense rebuild+list kernels win by an order of magnitude on TPU
+# (measured N=1M one-shot build: see README "one-call API" note).
+DENSE_API_MIN_N = 500_000
+
+
 def neighbor_list(pos, box, radius: float, *, half: bool = False,
                   k_cap: int | None = None, layout: str = "rowmajor",
-                  chunk: int = 2048):
+                  chunk: int = 2048, backend: str = "auto"):
     """Fixed-capacity padded neighbor lists for arbitrary positions.
 
     Args:
@@ -58,12 +104,21 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
               overflow raises ``ValueError`` instead (the caller asked for
               a hard shape contract).
       layout: "rowmajor" or "morton" spatial sort key (C4) — identical
-              output, different internal particle ordering.
+              output, different internal particle ordering (XLA backend
+              only; the dense backend's layout is its own cell-block
+              order).
+      backend: "auto" (default), "xla", or "dense". "dense" routes the
+              build through the Pallas dense engine + host-side mask
+              decode — the fast path at large N on TPU. "auto" picks
+              dense on a non-CPU backend when N >= DENSE_API_MIN_N and
+              the box supports the dense grid (mc >= 3), else xla.
 
     Returns (idx, cnt): ``idx`` (N, K) int32, row i = neighbor indices of
     particle i in the caller's order, padded with sentinel N; ``cnt`` (N,)
     int32 true neighbor counts.
     """
+    if backend not in ("auto", "xla", "dense"):
+        raise ValueError(f"backend={backend!r}")
     box = _as_box(box)
     pos = box.wrap(jnp.asarray(pos, jnp.float32))
     n = int(pos.shape[0])
@@ -71,6 +126,15 @@ def neighbor_list(pos, box, radius: float, *, half: bool = False,
     if n == 0:
         k = k_cap if k_cap is not None else 8
         return jnp.zeros((0, k), jnp.int32), jnp.zeros((0,), jnp.int32)
+
+    use_dense = backend == "dense" or (
+        backend == "auto"
+        and jax.default_backend() != "cpu"
+        and n >= DENSE_API_MIN_N
+        and int(box.L / radius) >= 3
+    )
+    if use_dense:
+        return _dense_neighbor_list(pos, box, radius, half, k_cap)
     rho = n / box.volume()
     est = estimate(rho, radius, grid.cell_size, half_list=half)
     k = k_cap if k_cap is not None else max(est.neighbors, 8)

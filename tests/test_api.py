@@ -112,6 +112,43 @@ def test_explicit_k_cap_survives_cell_table_growth():
     assert got == _oracle_pairs(pos, box, 2.8, k_cap=320)
 
 
+@pytest.mark.parametrize("half", [False, True])
+def test_dense_backend_matches_xla(half):
+    """backend="dense" (the TPU large-N fast path: Pallas rebuild +
+    one-pass list kernel + host mask decode) must emit the same pair
+    sets, row sets and counts as the XLA path and the oracle."""
+    pos, box = _random_system(2000, 1.0, 8)
+    rs = 2.8
+    n = pos.shape[0]
+    idx_d, cnt_d = mdnl.neighbor_list(pos, box, rs, half=half,
+                                      backend="dense")
+    idx_x, cnt_x = mdnl.neighbor_list(pos, box, rs, half=half,
+                                      backend="xla")
+    assert idx_d.shape[0] == n and cnt_d.shape == (n,)
+
+    def pairset(idx):
+        rows = np.repeat(np.arange(n)[:, None], idx.shape[1], 1)
+        keep = np.asarray(idx) < n
+        i, j = rows[keep], np.asarray(idx)[keep]
+        return set(zip(np.minimum(i, j).tolist(),
+                       np.maximum(i, j).tolist()))
+
+    assert pairset(idx_d) == pairset(idx_x) == _oracle_pairs(pos, box, rs)
+    if half:
+        # half attribution differs between backends (cell order vs sort
+        # order) but each pair appears exactly once in both
+        assert int(jnp.sum(cnt_d)) == int(jnp.sum(cnt_x))
+    else:
+        # full rows are attribution-free: counts match per particle
+        assert np.array_equal(np.asarray(cnt_d), np.asarray(cnt_x))
+
+
+def test_dense_backend_explicit_k_cap_overflow_raises():
+    pos, box = _random_system(2000, 1.0, 9)
+    with pytest.raises(ValueError, match="k_cap"):
+        mdnl.neighbor_list(pos, box, 2.8, k_cap=4, backend="dense")
+
+
 def test_auto_capacity_grows_on_cluster():
     """An adversarial dense cluster overflows the density-based estimate;
     the default path must grow and return complete lists."""

@@ -172,6 +172,79 @@ def test_dense_dd_p2_matches_p8():
     assert d.max() < 2e-4, d.max()
 
 
+def test_repark_ghost_park_alias_nz1(monkeypatch):
+    """Regression for the round-3 distributed NaN bug the 8-device dryrun
+    caught: at nz=1 a received ghost layer's EMPTY slots carry the
+    SENDER's park positions, whose device-local row ids (rows 0..mc-1)
+    coincide exactly with the receiver's own first-layer park — two
+    parked slots meet in the (dz=1, dy=0) window at r2 = 0 and emit NaN
+    forces. ``_repark_ghost`` re-parks the ghost layer at ext-local row
+    ids (rows nz*mc..) before the sweep. This test constructs the
+    collision directly and asserts (a) the production path is finite,
+    (b) bypassing the re-park reproduces the NaN (the test really does
+    build the collision), and (c) the production path is bitwise equal
+    to a pre-re-parked ghost layer fed through the raw kernel."""
+    from md_neighbor_list_tpu.ops import slab_kernels
+    from md_neighbor_list_tpu.ops.dense_cells import park_lattice
+    from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
+                                                       slab_forces_half)
+
+    spec = SlabSpec(mc=4, nz=1, mc_z=4, cap=8, L=8.0,
+                    cell_size=2.0, cell_z=2.0)
+    mc, cap, rows = spec.mc, spec.cap, spec.rows
+    park = np.asarray(park_lattice(spec))  # (3, mc, mc, cap): rows 0..mc-1
+
+    # owned layer (z-cells [0, 2)): one particle per cell at slot 0,
+    # empties on the receiver's own park (rows 0..mc-1)
+    pos = park.copy()
+    pid = np.full((rows, mc, cap), -1, np.int32)
+    k = 0
+    for y in range(mc):
+        for x in range(mc):
+            pos[:, y, x, 0] = (2.0 * x + 1.0, 2.0 * y + 1.0, 1.5)
+            pid[y, x, 0] = k
+            k += 1
+    # ghost layer = the DOWNSTREAM neighbor's first owned layer: its
+    # empties sit on the SENDER's park — identical row ids 0..mc-1, the
+    # collision geometry
+    gpos = park.copy()
+    gpid = np.full((mc, mc, cap), -1, np.int32)
+    for y in range(mc):
+        for x in range(mc):
+            gpos[:, y, x, 0] = (2.0 * x + 1.0, 2.0 * y + 1.0, 2.5)
+            gpid[y, x, 0] = k
+            k += 1
+
+    ext_pos = jnp.concatenate([jnp.asarray(pos), jnp.asarray(gpos)], axis=1)
+    ext_v = jnp.concatenate(
+        [jnp.asarray(pid >= 0), jnp.asarray(gpid >= 0)], axis=0
+    ).astype(jnp.float32)
+
+    f_prod, seam_prod, _ = slab_forces_half(ext_pos, ext_v, spec, 2.5, True)
+    assert bool(jnp.isfinite(f_prod).all()), "production path emitted NaN"
+    assert bool(jnp.isfinite(seam_prod).all())
+    # owned<->ghost pairs exist (z=1.5 vs 2.5), so the seam is nontrivial
+    assert float(jnp.max(jnp.abs(seam_prod))) > 0.0
+
+    # (b) bypass the re-park: the sender-park alias must reproduce the NaN
+    monkeypatch.setattr(slab_kernels, "_repark_ghost",
+                        lambda ext, valid, s: ext)
+    f_raw, _, _ = slab_forces_half.__wrapped__(ext_pos, ext_v, spec, 2.5,
+                                               True)
+    assert not bool(jnp.isfinite(f_raw).all()), (
+        "collision not reproduced — the regression test lost its teeth")
+
+    # (c) a pre-re-parked ghost layer through the raw kernel is bitwise
+    # identical to the production path
+    park_ext = np.asarray(park_lattice(spec.ext()))[:, rows:]
+    gfix = np.where((gpid >= 0)[None], gpos, park_ext)
+    ext_fix = jnp.concatenate([jnp.asarray(pos), jnp.asarray(gfix)], axis=1)
+    f_fix, seam_fix, _ = slab_forces_half.__wrapped__(ext_fix, ext_v, spec,
+                                                      2.5, True)
+    assert bool(jnp.all(f_fix == f_prod))
+    assert bool(jnp.all(seam_fix == seam_prod))
+
+
 def test_slab_force_row_groups_match_merged(monkeypatch):
     """The slab force kernel's grouped form (one pallas_call per
     _row_groups group at N=8M-class shapes) must reproduce the merged

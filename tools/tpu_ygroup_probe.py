@@ -21,8 +21,10 @@ y-rows at one z, with
     write per block, caller sums.
 
 Per-t math, accumulation order, and fold order are IDENTICAL to
-_force_half_kernel, so the probe asserts bitwise equality against the
-production pass before timing. Run on the real chip:
+_force_half_kernel, so the grouped result is expected bitwise-equal to
+the production pass; the probe CHECKS this before timing and refuses to
+report a non-bitwise variant as a valid lever (it still times it, loudly
+labeled INVALID, so a near-miss can be diagnosed). Run on the real chip:
 
     python tools/tpu_ygroup_probe.py --n 1000000 --cap 40 --groups 5 7
 """
@@ -235,14 +237,18 @@ def main():
 
     RC = 2.5
 
+    # dense_forces_half returns (force, pe|None) — unpack the tuple.
     prod = jax.jit(lambda p: pallas_force.dense_forces_half(
-        p, v32, spec, RC))
+        p, v32, spec, RC)[0])
     f_ref = jax.block_until_ready(prod(st.pos))
 
     @jax.jit
     def prod_loop(x):
-        def body(_, c):
-            f = pallas_force.dense_forces_half(x, v32, spec, RC)
+        # Perturb per iteration (tpu_launch_probe.py pattern) so XLA
+        # cannot CSE/hoist the pallas_call out of the loop.
+        def body(i, c):
+            f, _ = pallas_force.dense_forces_half(
+                x + (i % 2).astype(jnp.float32) * 1e-6, v32, spec, RC)
             return c + f[0, 0, 0, 0]
         return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
 
@@ -267,13 +273,15 @@ def main():
         d = jnp.max(jnp.abs(f_g - f_ref))
         scale = jnp.max(jnp.abs(f_ref))
         bitwise = bool(jnp.all(f_g == f_ref))
+        tag = "" if bitwise else "  ** INVALID: not bitwise — timing for diagnosis only **"
         print(f"G={G}: max|dF|={float(d):.3e} (scale {float(scale):.3e}) "
-              f"bitwise={bitwise}", flush=True)
+              f"bitwise={bitwise}{tag}", flush=True)
 
         @jax.jit
         def g_loop(x, G=G):
-            def body(_, c):
-                f = grouped_forces(x, spec, RC, G)
+            def body(i, c):
+                f = grouped_forces(
+                    x + (i % 2).astype(jnp.float32) * 1e-6, spec, RC, G)
                 return c + f[0, 0, 0, 0]
             return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
 
@@ -282,7 +290,8 @@ def main():
         jax.block_until_ready(g_loop(st.pos))
         t_g = (time.time() - t0) / args.reps * 1e3
         print(f"{'grouped G=%d' % G:28s} {t_g:7.2f} ms/pass "
-              f"(production {t_prod:.2f})", flush=True)
+              f"(production {t_prod:.2f})"
+              f"{'' if bitwise else '  [INVALID]'}", flush=True)
 
 
 if __name__ == "__main__":
