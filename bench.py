@@ -104,7 +104,19 @@ def bench_pallas(cfg, args):
     t0 = time.time()
     carry = sim.init(jax.random.PRNGKey(0))
     fetch_scalar(carry.n_rebuilds)
-    log(f"init + first build + compile: {time.time() - t0:.1f}s")
+    init_first_s = time.time() - t0
+    log(f"init + first build + compile: {init_first_s:.1f}s")
+    # Re-init on the now-warm executables: the difference is the COMPILE
+    # share of the cold start (plus any relay stall the first call ate) —
+    # separating "XLA compile" from "tunnel stall" numerically in the
+    # BENCH tail (VERDICT r3 weak-1). With a warm /root/.jax_cache the
+    # first call is already seconds and the share reads ~0.
+    t0 = time.time()
+    carry = sim.init(jax.random.PRNGKey(0))
+    fetch_scalar(carry.n_rebuilds)
+    init_warm_s = time.time() - t0
+    log(f"init (warm executables): {init_warm_s:.1f}s -> compile+stall "
+        f"share {init_first_s - init_warm_s:.1f}s")
     # read the spec AFTER init: a cold-lattice overflow (dense lattice
     # planes beating the equilibrium occupancy) grows cap + recompiles
     spec = sim.spec
@@ -187,6 +199,9 @@ def bench_pallas(cfg, args):
     rb = ("incremental rebuild, in-graph full-sort fallback"
           if sim.incremental else "full sort+expand rebuild")
     return build_ms, steps_per_s, pairs, {
+        "init_first_s": round(init_first_s, 1),
+        "init_warm_s": round(init_warm_s, 1),
+        "compile_or_stall_share_s": round(init_first_s - init_warm_s, 1),
         "cap": spec.cap, "mc": spec.mc, "cap_final": sim.spec.cap,
         "timed": f"skin/2 ballistic drift + {rb} + one-pass half-list "
                  "kernel (packed cluster bitmasks + half counts)",
@@ -289,7 +304,8 @@ def main() -> None:
                 "retrying in 300 s")
             time.sleep(300)
 
-    log(f"device grant: {time.time() - t_grant:.1f}s (relay stall, not "
+    grant_s = time.time() - t_grant
+    log(f"device grant: {grant_s:.1f}s (relay stall, not "
         "compile — BASELINE.md 'Compile time' section)")
 
     from md_neighbor_list_tpu.core.config import PRESETS
@@ -337,6 +353,7 @@ def main() -> None:
             "n": cfg.n,
             "pairs": pairs,
             "device": str(dev),
+            "device_grant_s": round(grant_s, 1),
             "cpu_baseline": base,
             **extra,
         },

@@ -395,6 +395,85 @@ def _half_center_penalty(spec: DenseSpec):
     return jnp.where(keep, 0.0, jnp.float32(_PENALTY))
 
 
+# Input state blocks a y-grouped (z, gy) program fetches: (dz, dblock)
+# with dblock the y-BLOCK shift whose rows the unrolled t-loop touches
+# (own rows t in [0, G) plus the dy = -1/+1 spill rows -1 and G).
+GROUP_BLOCKS = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _state_specs_grouped(spec, G: int):
+    """Grouped twin of _state_specs_merged: grid (mc, mc//G), each program
+    owning G consecutive y-rows at one z. Five (3, G, mc, cap) state
+    blocks per program (GROUP_BLOCKS) — 5G rows fetched where the per-row
+    grid fetches 6G — and G× fewer programs, attacking the ~2.5 us/program
+    fixed cost that tools/tpu_launch_probe.py pinned as the launch floor."""
+    mc = spec.mc
+    nby = mc // G
+    shape = (3, G, mc, spec.cap)
+    specs = []
+    for dz, db in GROUP_BLOCKS:
+        def m(z, gy, dz=dz, db=db):
+            return (0, ((z + dz) % mc) * nby + (gy + db) % nby, 0, 0)
+        specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
+    return specs
+
+
+def _pair_geom_group(win, own, dz: int, dy: int, z, y, spec):
+    """_pair_geom_win with (z, y) passed as values (on the grouped grid
+    y = gy*G + t is not a bare program id). Same static shifts, same
+    center-row penalty, same op order -> bit-identical r2p."""
+    mc = spec.mc
+    fL = jnp.float32(spec.L)
+    xi = own[0][:, :, None]
+    yi = own[1][:, :, None]
+    zi = own[2][:, :, None]
+    wx, wy, wz = win
+    xj = wx[:, None, :]
+    yj = wy[:, None, :]
+    zj = wz[:, None, :]
+    if dy == 1:
+        yj = yj + jnp.where(y + 1 >= mc, fL, 0.0)
+    elif dy == -1:
+        yj = yj + jnp.where(y - 1 < 0, -fL, 0.0)
+    if dz == 1:
+        zj = zj + jnp.where(z + 1 >= mc, fL, 0.0)
+    dxv = xi - xj
+    dyv = yi - yj
+    dzv = zi - zj
+    r2p = dxv * dxv + dyv * dyv + dzv * dzv
+    if (dz, dy) == (0, 0):
+        r2p = r2p + _half_center_penalty(spec)
+    return r2p, dxv, dyv, dzv
+
+
+class _GroupWindows:
+    """Per-program window cache for the grouped kernels: windows are built
+    once per DISTINCT source row — 2G+3 builds per program where the
+    per-row grid pays 5 per row (5G per G rows) — and cached as VMEM
+    values across the unrolled t-loop."""
+
+    def __init__(self, ins, spec, scr):
+        self.ins = ins
+        self.spec = spec
+        self.scr = scr
+        self.G = ins[0].shape[1]
+        self.wins = {}
+
+    def get(self, dz: int, lr: int):
+        key = (dz, lr)
+        if key not in self.wins:
+            G = self.G
+            if lr < 0:
+                blk, row = self.ins[GROUP_BLOCKS.index((dz, -1))], lr + G
+            elif lr >= G:
+                blk, row = self.ins[GROUP_BLOCKS.index((dz, 1))], lr - G
+            else:
+                blk, row = self.ins[GROUP_BLOCKS.index((dz, 0))], lr
+            self.wins[key] = _window_from_block(blk[:, row], self.spec,
+                                                self.scr)
+        return self.wins[key]
+
+
 def _pair_geom_static(nbr_ref, own_ref, dz: int, dy: int, spec,
                       zwrap: bool = True):
     """Half-sweep pair geometry for ONE (dz, dy) offset row with the
@@ -886,6 +965,99 @@ def _list_half_kernel(*refs, spec, radius: float, zwrap: bool = True,
     outc_ref[0] = cnt
 
 
+def _list_half_kernel_grouped(*refs, spec, radius: float, G: int):
+    """Y-grouped twin of _list_half_kernel: one program emits masks +
+    counts for G consecutive y-rows at one z. Identical per-row math,
+    accumulation and packing order (bitwise-equal artifact); the win is
+    structural — G× fewer programs (launch fixed cost) and 2G+3 window
+    builds per program instead of 5G (_GroupWindows)."""
+    ins = refs[:5]
+    outm_ref = refs[5]
+    outc_ref = refs[6]
+    scr = refs[7:7 + WINDOW_SCRATCH]
+    mc, cap = spec.mc, spec.cap
+    words = mask_words(cap)
+    r2cut = jnp.float32(radius * radius)
+    z = pl.program_id(0)
+    gy = pl.program_id(1)
+    slot1 = jax.lax.broadcasted_iota(jnp.int32, (1, cap, 1), 1)
+    wq = (jnp.int32(1) << (slot1 % 16)).astype(jnp.float32)
+    cache = _GroupWindows(ins, spec, scr)
+    own_blk = ins[GROUP_BLOCKS.index((0, 0))]
+    for t in range(G):
+        own = own_blk[:, t]  # (3, mc, cap)
+        y = gy * G + t
+        cnt = jnp.zeros((mc, cap), jnp.float32)
+        for k in range(5):
+            dz, dy = HALF_OFFSETS5[k]
+            win = cache.get(dz, t + dy)
+            r2p, _, _, _ = _pair_geom_group(win, own, dz, dy, z, y, spec)
+            hit = r2p < r2cut
+            cnt += jnp.where(hit, 1.0, 0.0).sum(axis=-1)
+            hw = jnp.where(hit, wq, 0.0)
+            for w in range(words):
+                lo0, lo1 = MASK_BITS * w, min(MASK_BITS * w + 16, cap)
+                hi0, hi1 = MASK_BITS * w + 16, min(MASK_BITS * w + 32, cap)
+                acc = jnp.sum(hw[:, lo0:lo1, :], axis=1).astype(jnp.int32)
+                if hi1 > hi0:
+                    hi_s = jnp.sum(hw[:, hi0:hi1, :],
+                                   axis=1).astype(jnp.int32)
+                    acc = acc + (hi_s << 16)
+                outm_ref[k * words + w, t] = acc
+        outc_ref[t] = cnt
+
+
+def _group_for_lists(spec) -> int:
+    """Largest divisor G of mc (2..8) whose grouped list pass fits the
+    scoped-VMEM budget; 1 = keep the per-row merged grid. The model
+    counts pipeline-buffered in/out blocks (2x), the window cache, and
+    ~6 live (mc, cap, 3cap) packing temporaries."""
+    mc, cap = spec.mc, spec.cap
+    words = mask_words(cap)
+    for G in range(8, 1, -1):
+        if mc % G:
+            continue
+        blocks = 5 * 3 * G * mc * cap * 4 * 2
+        outs = (5 * words * G * mc * 3 * cap + G * mc * cap) * 4 * 2
+        wins = (2 * G + 3) * 3 * mc * 3 * cap * 4
+        live = 6 * mc * cap * 3 * cap * 4
+        if blocks + outs + wins + live <= (13 << 20):
+            return G
+    return 1
+
+
+def lists_half_grouped(windows, spec, G: int, radius: float,
+                       interpret: bool):
+    """Grouped-grid list emission (cube only): grid (mc, mc//G), G own
+    y-rows per program. Same (counts, masks) artifact as lists_half_impl,
+    bitwise."""
+    mc, cap = spec.mc, spec.cap
+    words = mask_words(cap)
+    nby = mc // G
+    m, c = pl.pallas_call(
+        functools.partial(_list_half_kernel_grouped, spec=spec,
+                          radius=radius, G=G),
+        grid=(mc, nby),
+        in_specs=_state_specs_grouped(spec, G),
+        out_specs=[
+            pl.BlockSpec((5 * words, G, mc, 3 * cap),
+                         lambda z, gy: (0, z * nby + gy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, mc, cap), lambda z, gy: (z * nby + gy, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+        ],
+        scratch_shapes=_window_scratch(spec),
+        interpret=interpret,
+    )(*([windows] * 5))
+    masks = m.reshape(5, words, spec.rows, mc, 3 * cap)
+    return c.astype(jnp.int32), masks
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
                      spec: DenseSpec, radius: float,
@@ -903,8 +1075,14 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
         Works at any cap (words spans the slot axis). The total popcount
         equals the total pair count (each pair sets exactly one bit).
 
-    One kernel pass emits both (one pass per offset row at _split_rows
-    shapes); ~half the full sweep's pair evals."""
+    Takes the y-grouped grid (lists_half_grouped) when a divisor of mc
+    fits the VMEM model — G× fewer programs on a launch-cost-dominated
+    pass; falls back to the per-row merged grid (one pass per offset row
+    at _split_rows shapes); ~half the full sweep's pair evals either
+    way."""
+    G = 1 if _split_rows(spec, kind="lists") else _group_for_lists(spec)
+    if G > 1:
+        return lists_half_grouped(pos4, spec, G, radius, interpret)
     return lists_half_impl(pos4, spec, (spec.mc, spec.mc),
                            _state_specs_merged(spec), radius, True,
                            interpret)

@@ -252,9 +252,11 @@ def main():
             return c + f[0, 0, 0, 0]
         return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
 
-    jax.block_until_ready(prod_loop(st.pos))
+    # Fence by fetching the device-side scalar — under the axon tunnel
+    # block_until_ready does NOT block (see .claude/skills/verify).
+    float(np.asarray(prod_loop(st.pos)))
     t0 = time.time()
-    jax.block_until_ready(prod_loop(st.pos))
+    float(np.asarray(prod_loop(st.pos)))
     t_prod = (time.time() - t0) / args.reps * 1e3
     print(f"{'production per-row grid':28s} {t_prod:7.2f} ms/pass",
           flush=True)
@@ -285,9 +287,9 @@ def main():
                 return c + f[0, 0, 0, 0]
             return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
 
-        jax.block_until_ready(g_loop(st.pos))
+        float(np.asarray(g_loop(st.pos)))
         t0 = time.time()
-        jax.block_until_ready(g_loop(st.pos))
+        float(np.asarray(g_loop(st.pos)))
         t_g = (time.time() - t0) / args.reps * 1e3
         print(f"{'grouped G=%d' % G:28s} {t_g:7.2f} ms/pass "
               f"(production {t_prod:.2f})"
