@@ -174,7 +174,109 @@ def _grouped_kernel(*refs, spec, rc: float, G: int):
                     bnd[c, row] = -_fold_rxn(rxn_rows[k][c], mc, cap)
 
 
-def grouped_forces(state_pos, spec, rc, G, interpret=False):
+def _grouped_kernel_scan(*refs, spec, rc: float, G: int):
+    """fori_loop-over-t variant: bounds the live set to ONE row's worth
+    (the fully-unrolled kernel blows Mosaic's scheduler at G>=5 on N=1M
+    shapes — it overlaps the unrolled rows' temporaries, the same failure
+    _split_rows documents for unrolled offset rows). Trades the window
+    cache away (5 builds per t, like the per-row grid) but keeps the Gx
+    launch reduction, which the launch probe pinned as the dominant
+    fixed cost."""
+    ins = refs[:5]
+    outs = refs[5:-2]
+    scr = refs[-2:]
+    mc, cap = spec.mc, spec.cap
+    z = pl.program_id(0)
+    gy = pl.program_id(1)
+    r2cut = jnp.float32(rc * rc)
+
+    zero = jnp.zeros((mc, cap), jnp.float32)
+    for o in outs:
+        for c in range(3):
+            for t in range(G):
+                o[c, t] = zero
+
+    own_blk_ref = ins[IN_BLOCKS.index((0, 0))]
+    rxn_refs = {}
+    i = 1
+    for k in range(1, 5):
+        dz, dy = HALF_OFFSETS5[k]
+        rxn_refs[k] = (outs[i], outs[i + 1] if dy != 0 else None)
+        i += 2 if dy != 0 else 1
+
+    def body(t, carry):
+        own = own_blk_ref[:, t]  # dynamic sublane index into VMEM block
+        y = gy * G + t
+        acc = None
+        rxn_rows = []
+        for k in range(5):
+            dz, dy = HALF_OFFSETS5[k]
+            # source row t+dy of the right block, all offsets static
+            # except t: in-range rows come from the main block, the
+            # spill rows from the dblock=+-1 neighbors.
+            if dy == 0:
+                blk = ins[IN_BLOCKS.index((dz, 0))]
+                src = blk[:, t]
+            else:
+                main_blk = ins[IN_BLOCKS.index((dz, 0))]
+                spill_blk = ins[IN_BLOCKS.index((dz, dy))]
+                lr = t + dy
+                in_range = (0 <= lr) if dy == -1 else (lr <= G - 1)
+                # both reads are cheap VMEM slices; select the right one
+                lr_c = jnp.clip(t + dy, 0, G - 1)
+                spill_row = 0 if dy == 1 else G - 1
+                a = main_blk[:, lr_c]
+                b = spill_blk[:, spill_row]
+                cond = (t + dy >= 0) if dy == -1 else (t + dy <= G - 1)
+                src = jnp.where(cond, a, b)
+            win = _window_from_block(src, spec, scr)
+            r2p, dxv, dyv, dzv = _pair_geom_grouped(
+                win, own, dz, dy, z, y, spec)
+            hit = r2p < r2cut
+            s2 = pl.reciprocal(r2p, approx=True)
+            s2 = s2 * (2.0 - r2p * s2)
+            s2 = s2 * (2.0 - r2p * s2)
+            s6 = s2 * s2 * s2
+            f = jnp.where(hit, 24.0 * s6 * (2.0 * s6 - 1.0) * s2, 0.0)
+            px = f * dxv
+            py = f * dyv
+            pz = f * dzv
+            rxn_rows.append([jnp.sum(px, axis=1), jnp.sum(py, axis=1),
+                             jnp.sum(pz, axis=1)])
+            if k == 0:
+                acc = [px, py, pz]
+            else:
+                acc = [a2 + p for a2, p in zip(acc, [px, py, pz])]
+        own_f = [jnp.sum(a2, axis=-1) for a2 in acc]
+        for c in range(3):
+            outs[0][c, t] = own_f[c] - _fold_rxn(rxn_rows[0][c], mc, cap)
+        for k in range(1, 5):
+            dz, dy = HALF_OFFSETS5[k]
+            main, bnd = rxn_refs[k]
+            if dy == 0:
+                for c in range(3):
+                    main[c, t] = -_fold_rxn(rxn_rows[k][c], mc, cap)
+            else:
+                lr = t + dy
+                in_main = (lr >= 0) if dy == -1 else (lr <= G - 1)
+
+                @pl.when(in_main)
+                def _(k=k, lr=lr, main=main):
+                    lrc = jnp.clip(lr, 0, G - 1)
+                    for c in range(3):
+                        main[c, lrc] = -_fold_rxn(rxn_rows[k][c], mc, cap)
+
+                @pl.when(jnp.logical_not(in_main))
+                def _(k=k, dy=dy, bnd=bnd):
+                    row = 0 if dy == 1 else G - 1
+                    for c in range(3):
+                        bnd[c, row] = -_fold_rxn(rxn_rows[k][c], mc, cap)
+        return carry
+
+    jax.lax.fori_loop(0, G, body, jnp.int32(0))
+
+
+def grouped_forces(state_pos, spec, rc, G, interpret=False, scan=False):
     mc, cap = spec.mc, spec.cap
     nby = mc // G
     shape = (3, G, mc, cap)
@@ -206,8 +308,9 @@ def grouped_forces(state_pos, spec, rc, G, interpret=False):
             n_out += 1
     out_shapes = [jax.ShapeDtypeStruct((3, spec.rows, mc, cap),
                                        jnp.float32)] * n_out
+    kern = _grouped_kernel_scan if scan else _grouped_kernel
     outs = pl.pallas_call(
-        functools.partial(_grouped_kernel, spec=spec, rc=rc, G=G),
+        functools.partial(kern, spec=spec, rc=rc, G=G),
         grid=(mc, nby),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -224,6 +327,10 @@ def main():
     ap.add_argument("--cap", type=int, default=40)
     ap.add_argument("--groups", type=int, nargs="+", default=[5, 7])
     ap.add_argument("--reps", type=int, default=30)
+    ap.add_argument("--scan", action="store_true",
+                    help="fori_loop-over-t kernel variant (bounds the "
+                    "live set; the unrolled kernel fails Mosaic compile "
+                    "at G>=5 on N=1M shapes)")
     args = ap.parse_args()
 
     system, box = init_lattice(args.n, 1.0, jax.random.PRNGKey(0), 1.0)
@@ -265,7 +372,8 @@ def main():
         if mc % G:
             print(f"G={G}: skipped (mc={mc} not divisible)", flush=True)
             continue
-        gf = jax.jit(lambda p, G=G: grouped_forces(p, spec, RC, G))
+        gf = jax.jit(lambda p, G=G: grouped_forces(p, spec, RC, G,
+                                                   scan=args.scan))
         try:
             f_g = jax.block_until_ready(gf(st.pos))
         except Exception as e:  # VMEM blowup is a legitimate outcome
@@ -283,7 +391,8 @@ def main():
         def g_loop(x, G=G):
             def body(i, c):
                 f = grouped_forces(
-                    x + (i % 2).astype(jnp.float32) * 1e-6, spec, RC, G)
+                    x + (i % 2).astype(jnp.float32) * 1e-6, spec, RC, G,
+                    scan=args.scan)
                 return c + f[0, 0, 0, 0]
             return jax.lax.fori_loop(0, args.reps, body, jnp.float32(0.0))
 
