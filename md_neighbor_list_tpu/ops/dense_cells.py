@@ -335,11 +335,89 @@ def _count_less(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
 def _row_starts(sorted_keys: jnp.ndarray, spec,
                 key_base: int = 0) -> jnp.ndarray:
     """(R+1,) first sorted index of each (z, y) row: row r's cells span keys
-    [key_base + r*mc, key_base + (r+1)*mc), so start[r] = #keys < that
-    (hierarchical bracket search, see _count_less)."""
-    queries = (key_base
-               + jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc)
-    return _count_less(sorted_keys, queries).astype(jnp.int32)
+    [key_base + r*mc, key_base + (r+1)*mc), so start[r] = #keys < that.
+
+    One dense coarse compare + a 2-ROW gather: the sorted stream reshaped
+    to (ceil(S/128), 128) tiles makes every bracket window start
+    128-ALIGNED by construction, so the hierarchical search's
+    element-gathered (Q, 129) windows (latency-bound: ~8.6 ns/element on
+    this chip) become two contiguous row fetches. The coarse level
+    compares ALL queries against column 0 of the reshape (S/128 × (R+1)
+    dense compares — ~1.2e12/s, cheaper than any gather at every
+    supported shape: 16.4M compares at N=1M, 565M at N=8M). The wide
+    2-row window never overcounts: keys at/after index 128*coarse are
+    >= q by the bracket property. Measured at S=1.715M on the chip
+    (tools/tpu_rowstarts_probe.py): 1.26 ms vs 3.64 hierarchical
+    (_count_less, kept for the sparse-query callers in ops/incremental)
+    and 4.64 one-hot-matmul histogram (_row_starts_hist, kept as the
+    recorded dead end)."""
+    q = (key_base
+         + jnp.arange(spec.rows + 1, dtype=jnp.int32) * spec.mc)
+    S = sorted_keys.shape[0]
+    stride = _RS_STRIDE
+    pad = (-S) % stride
+    if pad:  # guard keys beyond every query never count
+        sorted_keys = jnp.concatenate(
+            [sorted_keys,
+             jnp.full((pad,), jnp.iinfo(jnp.int32).max, sorted_keys.dtype)])
+    k2 = sorted_keys.reshape(-1, stride)
+    sub = k2[:, 0]
+    coarse = jnp.sum((sub[None, :] < q[:, None]).astype(jnp.int32), axis=1)
+    j = jnp.maximum(coarse - 1, 0)
+    guard = jnp.full((1, stride), sorted_keys[-1], sorted_keys.dtype)
+    k2g = jnp.concatenate([k2, guard], axis=0)
+    win = jnp.concatenate([k2g[j], k2g[j + 1]], axis=1)  # (Q, 256)
+    return jnp.minimum(
+        j * stride + jnp.sum((win < q[:, None]).astype(jnp.int32), axis=1),
+        jnp.int32(S)).astype(jnp.int32)
+
+
+def _row_starts_hist(keys: jnp.ndarray, spec,
+                     key_base: int = 0) -> jnp.ndarray:
+    """(R+1,) row starts from the UNSORTED keys via a one-hot histogram
+    MATMUL — the one op in the rebuild with a genuinely MXU-shaped
+    contraction (S-deep). start[r] = #keys < key_base + r*mc
+    = exclusive-cumsum of the per-row histogram, and a histogram needs no
+    sorted input, so this runs off the raw keys (XLA is free to schedule
+    it beside the sort rather than after it).
+
+    hist2d[h, l] = #(rid == 128h + l) = A^T B with A = onehot_hi (S, nh),
+    B = onehot_lo (S, 128), rid = (key - key_base) // mc. Records below
+    key_base (slab emigrants) sort before row 0 and are counted as a
+    uniform n_below offset; records at/above the guard key (parked
+    slots, foreign records) go to the guard bin R and count toward no
+    start. One-hots are exact in bf16 (0/1), the MXU
+    accumulates in f32; a bin holds at most cap*mc < 2^24 real records
+    and the guard bin at most S < 2^24 (16.7M — N=8M's 14.3M slots fit).
+
+    MEASURED DEAD END, kept as the record (round 4,
+    tools/tpu_rowstarts_probe.py at S=1.715M): 4.64 ms standalone vs
+    1.26 ms for the adopted 2-row-gather search (_row_starts) and
+    3.64 ms for the hierarchical one it hoped to beat — the (S, 128)
+    bf16 one-hot materialization + its HBM round-trip costs more than
+    the gathers it replaces, the MXU tile is M-starved (M = nh ~ R/128
+    ~ 10 of 128 output rows live), and TPU XLA executes programs
+    sequentially, so "free scheduling beside the sort" buys nothing."""
+    R = spec.rows
+    nh = (R + 128) // 128  # bins 0..R-1 real + guard bin R
+    rid = (keys - jnp.int32(key_base)) // jnp.int32(spec.mc)
+    # records BELOW key_base (slab emigrants) sort before row 0, so they
+    # shift every start; records at/above the guard key (parked slots,
+    # foreign records) sort after every row and go to the guard bin R
+    n_below = jnp.sum((rid < 0).astype(jnp.int32))
+    rid = jnp.where((rid < 0) | (rid > R), jnp.int32(R), rid)
+    hi = rid // 128
+    lo = rid - hi * 128
+    cols = jnp.arange(128, dtype=jnp.int32)
+    rows_h = jnp.arange(nh, dtype=jnp.int32)
+    a = (hi[:, None] == rows_h[None, :]).astype(jnp.bfloat16)  # (S, nh)
+    b = (lo[:, None] == cols[None, :]).astype(jnp.bfloat16)  # (S, 128)
+    hist2d = jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (nh, 128)
+    hist = hist2d.reshape(-1)[:R].astype(jnp.int32)
+    return n_below + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(hist)])
 
 
 def sort_expand(keys: jnp.ndarray, chans: tuple, spec,

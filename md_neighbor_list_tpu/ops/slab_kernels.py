@@ -166,6 +166,124 @@ def slab_forces_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
             pe.reshape(spec.rows, mc, cap) if want_pe else None)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def slab_forces_interior(pos: jnp.ndarray, spec: SlabSpec, rc: float,
+                         interpret: bool = False):
+    """Half-sweep forces for the owned INTERIOR layers — everything that
+    does not touch the ghost layer, so the per-step halo ppermute can fly
+    while this computes (the overlap VERDICT r3 item 7 asked for; the
+    no-overlap assumption this retires is priced in BASELINE.md's DD
+    projection).
+
+    ``pos``: (3, nz*mc, mc, cap) owned parked state ONLY (no ghost
+    concat — the interior grid (nz-1, mc) reads blocks (z+dz)*mc with
+    z <= nz-2, never past the owned rows). Requires nz >= 2.
+
+    Returns (f_low (3, (nz-1)*mc, mc, cap), top_rxn (3, mc, mc, cap)):
+    ``f_low`` is the complete force on layers 0..nz-2 from interior-
+    evaluated pairs (reactions re-homed by output index_maps as in
+    slab_forces_half); ``top_rxn`` is the dz=1 reaction of layer nz-2
+    onto layer nz-1 — add it to the boundary pass's own-layer force.
+    Layer 0 still needs the left neighbor's seam, as before."""
+    mc, cap, nz = spec.mc, spec.cap, spec.nz
+    assert nz >= 2, "interior split needs >= 2 owned layers"
+    specs = _slab_state_specs_merged(spec)
+
+    def rxn_out(k):
+        dz, dy = HALF_OFFSETS5[k]
+        return (lambda z, y: (0, (z + dz) * mc + (y + dy) % mc, 0, 0),
+                spec.rows)
+
+    own = None   # valid layers [0, nz-1): own + dz=0 reactions
+    dz1 = None   # valid layers [1, nz):   dz=1 reactions
+    for ks in pallas_force._row_groups(spec, False):
+        outs = pallas_force._call_force_group(
+            pos, spec, rc, False, interpret, False, ks, specs,
+            (nz - 1, mc), spec.rows, rxn_out)
+        f = outs[0]
+        ri = 1
+        for k in ks:
+            if k == 0:
+                continue
+            kdz, _ = HALF_OFFSETS5[k]
+            r = outs[ri]
+            ri += 1
+            if kdz == 0:
+                f = f + r
+            else:
+                dz1 = r if dz1 is None else dz1 + r
+        own = f if own is None else own + f
+    cut = (nz - 1) * mc
+    f_low = own[:, :cut]
+    if nz > 2:  # dz=1 reactions land on layers 1..nz-1; layer 0 unwritten
+        f_low = f_low.at[:, mc:].add(dz1[:, mc:cut])
+    return f_low, dz1[:, cut:]
+
+
+def _slab_state_specs_boundary(spec: SlabSpec):
+    """Boundary twin of _slab_state_specs_merged over the 2-layer
+    (3, 2*mc, mc, cap) window array [last owned layer | ghost layer]:
+    grid (1, mc), z == 0, dz=1 reads the ghost rows."""
+    mc = spec.mc
+    shape = (3, 1, mc, spec.cap)
+    specs = []
+    for dz, dy in HALF_OFFSETS5:
+        def m(z, y, dz=dz, dy=dy):
+            return (0, dz * mc + (y + dy) % mc, 0, 0)
+        specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
+    return specs
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def slab_forces_boundary(last_pos: jnp.ndarray, gpos: jnp.ndarray,
+                         gvalid_f32: jnp.ndarray, spec: SlabSpec,
+                         rc: float, interpret: bool = False):
+    """Half-sweep forces for the LAST owned layer — the only part of the
+    slab force pass that reads the ghost layer, sequenced after the halo
+    ppermute its interior twin overlaps.
+
+    ``last_pos``: (3, mc, mc, cap) owned last layer (park invariant
+    holds — its empty slots carry device-local park ids (nz-1)*mc..);
+    ``gpos``/``gvalid_f32``: the received right-ghost layer, seam-shifted;
+    re-parked here at ext-local row ids nz*mc.. exactly as _repark_ghost
+    does, so pair geometry is bit-identical to the combined kernel's.
+
+    Returns (f_last (3, mc, mc, cap), seam (3, mc, mc, cap)): own-layer
+    force from boundary-evaluated pairs (add slab_forces_interior's
+    top_rxn and the in-flight left seam) and the Newton-3 reaction onto
+    the ghost layer to ppermute right."""
+    mc, cap = spec.mc, spec.cap
+    park_g = park_lattice(spec.ext())[:, spec.rows:]
+    g = jnp.where(gvalid_f32[None] > 0.5, gpos, park_g)
+    windows = jnp.concatenate([last_pos, g], axis=1)  # (3, 2mc, mc, cap)
+    specs = _slab_state_specs_boundary(spec)
+
+    def rxn_out(k):
+        dz, dy = HALF_OFFSETS5[k]
+        return (lambda z, y: (0, (y + dy) % mc, 0, 0), mc)
+
+    f_last = None
+    seam = None
+    for ks in pallas_force._row_groups(spec, False):
+        outs = pallas_force._call_force_group(
+            windows, spec, rc, False, interpret, False, ks, specs,
+            (1, mc), mc, rxn_out)
+        f = outs[0]
+        ri = 1
+        for k in ks:
+            if k == 0:
+                continue
+            kdz, _ = HALF_OFFSETS5[k]
+            r = outs[ri]
+            ri += 1
+            if kdz == 0:
+                f = f + r
+            else:
+                seam = r if seam is None else seam + r
+        f_last = f if f_last is None else f_last + f
+    return f_last, seam
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def slab_lists_half(ext_pos: jnp.ndarray, ext_valid_f32: jnp.ndarray,
                     spec: SlabSpec, radius: float, interpret: bool = False):

@@ -50,7 +50,9 @@ from md_neighbor_list_tpu.core.config import MDConfig
 from md_neighbor_list_tpu.core.system import System, init_lattice
 from md_neighbor_list_tpu.ops.dense_cells import grow_cap, DenseState
 from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
+                                                   slab_forces_boundary,
                                                    slab_forces_half,
+                                                   slab_forces_interior,
                                                    slab_keys,
                                                    slab_lists_half,
                                                    slab_sort_expand)
@@ -211,11 +213,14 @@ class DenseSlabSimulator:
             )
             moved = lax.psum(jnp.sum(own_emig.astype(jnp.int32)), AXIS)
 
-            g = lax.ppermute(new.pos[:, :mc], AXIS, perm_minus)
+            # the ghost SET (pids) changes only here; ghost POSITIONS are
+            # refreshed by the hoisted per-step ppermute in step() (which
+            # overwrites gpos right after this cond — left stale here so
+            # the refresh can overlap the interior force pass)
             gpid = lax.ppermute(new.pid[:mc], AXIS, perm_minus)
             return state._replace(
                 pos=new.pos, vel=new.vel, pid=new.pid,
-                gpos=seam_shift(g), gpid=gpid,
+                gpid=gpid,
                 ref_pos=new.pos,
                 n_rebuilds=state.n_rebuilds + 1,
                 n_migrated=state.n_migrated + moved,
@@ -249,9 +254,28 @@ class DenseSlabSimulator:
             need = 4.0 * d2max > skin2
             if cfg.rebuild_every_step:
                 need = jnp.bool_(True)
-            state = lax.cond(need, rebuild, refresh_ghosts, state)
+            state = lax.cond(need, rebuild, lambda s: s, state)
 
-            force, _ = forces(state)
+            # ghost-position refresh hoisted OUT of the cond: both branches
+            # want ppermute(state.pos[:, :mc]) of the post-cond state, and
+            # outside the cond the collective can overlap the interior
+            # force pass (no data dependency — XLA's latency-hiding
+            # scheduler splits it into start/done around independent work).
+            g = lax.ppermute(state.pos[:, :mc], AXIS, perm_minus)
+            state = state._replace(gpos=seam_shift(g))
+
+            if nz >= 2:  # overlap path: ghost-free interior, then seam
+                f_low, top_rxn = slab_forces_interior(
+                    state.pos, spec, cfg.rc, interp)
+                f_last, seam = slab_forces_boundary(
+                    state.pos[:, (nz - 1) * mc:], state.gpos,
+                    (state.gpid >= 0).astype(jnp.float32), spec, cfg.rc,
+                    interp)
+                recv = lax.ppermute(seam, AXIS, perm_plus)
+                force = jnp.concatenate([f_low, f_last + top_rxn], axis=1)
+                force = force.at[:, :mc].add(recv)
+            else:  # single owned layer: no interior exists
+                force, _ = forces(state)
             vel = state.vel + 0.5 * dt * force
             return state._replace(vel=vel, force=force), None
 
@@ -286,6 +310,7 @@ class DenseSlabSimulator:
         def initial_build_sm(state):
             state = unsqueeze(state)
             state = rebuild(state)
+            state = refresh_ghosts(state)  # rebuild leaves gpos stale
             force, _ = forces(state)
             return squeeze(state._replace(force=force))
 

@@ -113,3 +113,35 @@ def test_hierarchical_count_less_matches_numpy():
         want = np.searchsorted(keys, q, side="left")
         got = np.asarray(_count_less(jnp.asarray(keys), jnp.asarray(q)))
         np.testing.assert_array_equal(got, want)
+
+
+def test_row_starts_matches_numpy():
+    """dense_cells._row_starts (the 2-row-gather search adopted round 4)
+    == numpy searchsorted-left on the production query grid, across
+    stream sizes (incl. non-128-multiples, which exercise the guard pad),
+    key distributions with empty rows, and the slab key_base offset."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from md_neighbor_list_tpu.ops.dense_cells import _row_starts
+
+    class FakeSpec:
+        def __init__(self, mc, rows):
+            self.mc = mc
+            self.rows = rows
+
+    rng = np.random.default_rng(11)
+    for size, mc, rows, key_base in (
+        (64, 3, 9, 0),            # tiny box
+        (8192, 9, 81, 0),         # single coarse tile
+        (50_001, 16, 256, 0),     # non-128-multiple stream
+        (1_715_000, 35, 1225, 0),  # the N=1M production shape
+        (40_000, 16, 48, 256),    # slab layout: emigrants below key_base
+    ):
+        hi = key_base + rows * mc + 5  # includes parked/foreign keys
+        keys = np.sort(rng.integers(0, hi, size).astype(np.int32))
+        spec = FakeSpec(mc, rows)
+        q = key_base + np.arange(rows + 1, dtype=np.int64) * mc
+        want = np.searchsorted(keys, q, side="left").astype(np.int32)
+        got = np.asarray(_row_starts(jnp.asarray(keys), spec, key_base))
+        np.testing.assert_array_equal(got, want)
