@@ -110,6 +110,46 @@ def long_run() -> None:
         done = tgt
 
 
+def long_run_8m(steps: int = 5000) -> None:
+    """Scale-ladder closure (VERDICT r3 item 4): a 5k-step NVE run at the
+    N=8M rung, cap=40 — the 1M rung already has a 10k-step row; this gives
+    the 8M rung the same long-horizon evidence (drift gate 1e-4, regrow
+    count reported)."""
+    from md_neighbor_list_tpu.core.config import MDConfig
+    from md_neighbor_list_tpu.models.dense_lj import DenseSimulator
+
+    cfg = MDConfig(n=8_000_000, dt=0.001, temperature=1.0)
+    sim = DenseSimulator(cfg, cap=40)
+    t0 = time.time()
+    c = sim.init(jax.random.PRNGKey(0))
+    ke0, pe0 = sim.energies(c)
+    e0 = float(ke0) + float(pe0)
+    print(f"init+first energies {time.time() - t0:.1f}s  E0={e0:.6e} "
+          f"cap={sim.spec.cap} mc={sim.spec.mc}", flush=True)
+    done = 0
+    cap_seen = sim.spec.cap
+    for tgt in (500, 1000, 2500, 5000):
+        if tgt > steps:
+            break
+        t1 = time.time()
+        c = sim.run(c, tgt - done, chunk=100)
+        ke, pe = sim.energies(c)
+        w = time.time() - t1
+        drift = abs(float(ke) + float(pe) - e0) / abs(e0)
+        regrew = sim.spec.cap != cap_seen
+        cap_seen = sim.spec.cap
+        print(f"steps={tgt} drift={drift:.3e} "
+              f"rebuilds={int(np.asarray(c.n_rebuilds))} "
+              f"window_steps_per_s={(tgt - done) / w:.1f} cap={cap_seen} "
+              f"regrew={regrew} overflow={bool(np.asarray(c.overflow))}",
+              flush=True)
+        done = tgt
+    ok = drift <= 1e-4
+    print(f"8M long-run gate (|dE/E| <= 1e-4 over {done} steps): "
+          f"{'PASS' if ok else 'FAIL'} ({drift:.3e})", flush=True)
+    sys.exit(0 if ok else 1)
+
+
 def dd_p1() -> None:
     """Measured throughput of the FULL shard_map DD program (P=1 self-halo)
     at N=1M — the end-to-end cost of the distributed program structure on
@@ -142,12 +182,15 @@ def main() -> int:
     ap.add_argument("--densities", action="store_true")
     ap.add_argument("--min-grid", action="store_true")
     ap.add_argument("--long-run", action="store_true")
+    ap.add_argument("--long-run-8m", action="store_true")
     ap.add_argument("--dd-p1", action="store_true")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     if not any((args.densities, args.min_grid, args.long_run, args.dd_p1,
-                args.all)):
+                args.long_run_8m, args.all)):
         ap.error("pick at least one probe (or --all)")
+    if args.long_run_8m:
+        long_run_8m()  # exits with the gate status
     ok = True
     if args.densities or args.all:
         ok &= densities()
