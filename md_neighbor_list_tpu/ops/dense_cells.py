@@ -190,7 +190,8 @@ def _expand_window(mc: int, cap: int, G: int) -> int:
 
 
 def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
-                   spec, key_base: int, G: int, W: int | None = None):
+                   spec, key_base: int, G: int, W: int | None = None,
+                   nchan: int = 8, split_dma: bool = False):
     """Per G-row group of (z, y) rows: DMA the sorted-record window for the
     group's cells and redistribute each cell's run to its fixed cap-stride
     slots.
@@ -218,22 +219,55 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
     slot = jax.lax.rem(r, 2)
 
     def dma(prog, buf):
+        """The sorted-record window copy: one strided (nchan, W) copy by
+        default, or nchan CONCURRENT per-channel copies when ``split_dma``
+        (each channel row of recs_hbm is S+W apart in HBM, so the single
+        copy is nchan separate bursts the DMA engine walks sequentially;
+        splitting puts them all in flight at once)."""
         start = (row_start_ref[prog * G] // 128) * 128  # 128-aligned start
-        return pltpu.make_async_copy(
-            recs_hbm.at[:, pl.ds(start, W)], win2.at[buf], sems.at[buf]
-        )
+        if not split_dma:
+            return [pltpu.make_async_copy(
+                recs_hbm.at[:, pl.ds(start, W)], win2.at[buf], sems.at[buf]
+            )]
+        return [pltpu.make_async_copy(
+            recs_hbm.at[pl.ds(c, 1), pl.ds(start, W)],
+            win2.at[buf, pl.ds(c, 1)], sems.at[buf, c],
+        ) for c in range(nchan)]
 
     @pl.when(r == 0)
     def _():
-        dma(0, 0).start()
+        for cp in dma(0, 0):
+            cp.start()
 
     @pl.when(r + 1 < nprogs)
     def _():
-        dma(r + 1, jax.lax.rem(r + 1, 2)).start()
+        for cp in dma(r + 1, jax.lax.rem(r + 1, 2)):
+            cp.start()
 
-    dma(r, slot).wait()
+    for cp in dma(r, slot):
+        cp.wait()
 
-    keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
+    if nchan == 7:
+        # keys recomputed from the position channels (the sort dropped the
+        # key payload): bitwise the cell_keys formula — floor(pos/cell)
+        # clipped to [0, mc-1] on the SAME f32 values the sort keyed (the
+        # payload channels pass through the sort unchanged), so the
+        # recomputed key of every real record equals its sort key exactly.
+        # Parked/padded records are flagged by pid < 0 (their positions are
+        # wrapped park-lattice values that would alias real cells) and sent
+        # past the guard key, exactly where their sort key (ncells) put
+        # them. Cube-only: the slab stream's emigrant keys are not
+        # position-derived (sort_expand asserts key_base == 0).
+        inv = jnp.float32(1.0 / spec.cell_size)
+        mcf = jnp.float32(mc - 1)
+        cx = jnp.clip(jnp.floor(win2[slot, 0:1, :] * inv), 0.0, mcf)
+        cy = jnp.clip(jnp.floor(win2[slot, 1:2, :] * inv), 0.0, mcf)
+        cz = jnp.clip(jnp.floor(win2[slot, 2:3, :] * inv), 0.0, mcf)
+        keyv = cx + jnp.float32(mc) * (cy + jnp.float32(mc) * cz)
+        guard = jnp.float32(spec.rows * mc + 1)
+        keys = jnp.where(win2[slot, 6:7, :] < 0.0, guard, keyv)
+    else:
+        keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
     # off[c] = first window index of cell c's run = #keys < cell_id;
     # one extra row (gm+1) gives run lengths len_c = off[c+1] - off[c].
     # key_base: first cell key of row 0 (nonzero for the slab layout,
@@ -424,7 +458,9 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
                 interpret: bool = False,
                 key_base: int = 0,
                 group: int | None = None,
-                window: int | None = None) -> tuple[DenseState, jnp.ndarray]:
+                window: int | None = None,
+                fuse_keys: bool = False,
+                split_dma: bool = False) -> tuple[DenseState, jnp.ndarray]:
     """The rebuild core: one 8-payload sort by cell key + the expand
     kernel. ``keys`` (M,) i32; ``chans`` = (x, y, z, vx, vy, vz, pidf),
     each (M,) f32. Records keyed outside [key_base, key_base + rows*mc)
@@ -449,20 +485,27 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     nprog = (spec.rows + G - 1) // G
     rows_pad = nprog * G
     W = _expand_window(mc, cap, G) if window is None else window
+    if fuse_keys and key_base != 0:
+        raise ValueError("fuse_keys requires position-derived keys "
+                         "(key_base == 0, the cube layout)")
+    nch = 7 if fuse_keys else 8
     out = lax.sort((keys,) + tuple(chans), dimension=0, num_keys=1)
     k_s = out[0]
     # one concat builds the padded record matrix: W guard columns for the
     # window over-read, with the key channel padded out-of-band (a small
-    # value would alias a real cell and fabricate particles)
-    pad_key = jnp.float32(key_base + spec.rows * mc)
-    pad = jnp.zeros((8, W), jnp.float32).at[7].set(pad_key)
-    recs = jnp.concatenate(
-        [
-            jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)), axis=0),
-            pad,
-        ],
-        axis=1,
-    )
+    # value would alias a real cell and fabricate particles). fuse_keys
+    # drops the key channel entirely (the kernel recomputes keys from the
+    # position channels); its pad flags pid = -1 so padded lanes take the
+    # in-kernel guard key.
+    if fuse_keys:
+        pad = jnp.zeros((7, W), jnp.float32).at[6].set(-1.0)
+        body = jnp.stack(out[1:8], axis=0)
+    else:
+        pad_key = jnp.float32(key_base + spec.rows * mc)
+        pad = jnp.zeros((8, W), jnp.float32).at[7].set(pad_key)
+        body = jnp.stack(out[1:7] + (out[7], k_s.astype(jnp.float32)),
+                         axis=0)
+    recs = jnp.concatenate([body, pad], axis=1)
     row_start = _row_starts(k_s, spec, key_base)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -480,13 +523,13 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, W), jnp.float32),  # double-buffered windows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, nch, W), jnp.float32),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2, nch) if split_dma else (2,)),
         ],
     )
     posvel, pid4 = pl.pallas_call(
         functools.partial(_expand_kernel, spec=spec, key_base=key_base,
-                          G=G, W=W),
+                          G=G, W=W, nchan=nch, split_dma=split_dma),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((6, rows_pad, mc, cap), jnp.float32),
@@ -502,9 +545,11 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     return new, row_start
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rebuild_dense(state: DenseState, spec: DenseSpec,
-                  interpret: bool = False) -> tuple[DenseState, jnp.ndarray]:
+                  interpret: bool = False,
+                  fuse_keys: bool = False,
+                  split_dma: bool = False) -> tuple[DenseState, jnp.ndarray]:
     """Full spatial rebuild: key -> 8-payload sort -> expand kernel.
 
     Returns (new_state, row_start); overflow detection is the caller's
@@ -520,7 +565,8 @@ def rebuild_dense(state: DenseState, spec: DenseSpec,
     chans = tuple(_flat(state.pos[i]) for i in range(3)) + tuple(
         _flat(state.vel[i]) for i in range(3)
     ) + (_flat(state.pid).astype(jnp.float32),)  # pid exact for < 2^24
-    return sort_expand(keys, chans, spec, interpret)
+    return sort_expand(keys, chans, spec, interpret,
+                       fuse_keys=fuse_keys, split_dma=split_dma)
 
 
 # ----------------------------------------------------- packed <-> dense I/O

@@ -57,6 +57,26 @@ def test_rebuild_reference_invariants():
     assert (keys[valid] == slot_cell[valid]).all()
 
 
+def test_expand_variants_bitwise():
+    """The fuse_keys (7-channel sort, in-kernel key recompute) and
+    split_dma (per-channel window copies) expand variants produce a
+    bitwise-identical state to the default path — off-lattice, so the
+    sort permutation and window offsets are non-trivial."""
+    state, spec, box, pos = _dense_state(key=3)
+    state, _ = rebuild_dense(state, spec, True)
+    state = state._replace(pos=state.pos + 0.05 * state.vel)
+    ref, _ = rebuild_dense(state, spec, True)
+    for fuse in (False, True):
+        for split in (False, True):
+            got, _ = rebuild_dense(state, spec, True, fuse, split)
+            np.testing.assert_array_equal(np.asarray(got.pid),
+                                          np.asarray(ref.pid))
+            np.testing.assert_array_equal(np.asarray(got.pos),
+                                          np.asarray(ref.pos))
+            np.testing.assert_array_equal(np.asarray(got.vel),
+                                          np.asarray(ref.vel))
+
+
 def test_expand_kernel_matches_reference():
     """Pallas sort+expand (interpret mode) == scatter-based reference."""
     state, spec, box, pos = _dense_state(key=2)
