@@ -223,7 +223,10 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
         default, or nchan CONCURRENT per-channel copies when ``split_dma``
         (each channel row of recs_hbm is S+W apart in HBM, so the single
         copy is nchan separate bursts the DMA engine walks sequentially;
-        splitting puts them all in flight at once)."""
+        splitting puts them all in flight at once). The split path's
+        scratch is (2, nchan, 1, W) — each channel a full (1, W) tiled
+        leaf, because a 1-sublane SLICE of an (nchan, W) VMEM window is
+        not tile-aligned (Mosaic requires 8)."""
         start = (row_start_ref[prog * G] // 128) * 128  # 128-aligned start
         if not split_dma:
             return [pltpu.make_async_copy(
@@ -231,8 +234,14 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
             )]
         return [pltpu.make_async_copy(
             recs_hbm.at[pl.ds(c, 1), pl.ds(start, W)],
-            win2.at[buf, pl.ds(c, 1)], sems.at[buf, c],
+            win2.at[buf, c], sems.at[buf, c],
         ) for c in range(nchan)]
+
+    def chan(c):
+        """Channel c of the current window as a (1, W) plane."""
+        if split_dma:
+            return win2[slot, c]
+        return win2[slot, c:c + 1, :]
 
     @pl.when(r == 0)
     def _():
@@ -260,14 +269,14 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
         # position-derived (sort_expand asserts key_base == 0).
         inv = jnp.float32(1.0 / spec.cell_size)
         mcf = jnp.float32(mc - 1)
-        cx = jnp.clip(jnp.floor(win2[slot, 0:1, :] * inv), 0.0, mcf)
-        cy = jnp.clip(jnp.floor(win2[slot, 1:2, :] * inv), 0.0, mcf)
-        cz = jnp.clip(jnp.floor(win2[slot, 2:3, :] * inv), 0.0, mcf)
+        cx = jnp.clip(jnp.floor(chan(0) * inv), 0.0, mcf)
+        cy = jnp.clip(jnp.floor(chan(1) * inv), 0.0, mcf)
+        cz = jnp.clip(jnp.floor(chan(2) * inv), 0.0, mcf)
         keyv = cx + jnp.float32(mc) * (cy + jnp.float32(mc) * cz)
         guard = jnp.float32(spec.rows * mc + 1)
-        keys = jnp.where(win2[slot, 6:7, :] < 0.0, guard, keyv)
+        keys = jnp.where(chan(6) < 0.0, guard, keyv)
     else:
-        keys = win2[slot, 7:8, :]  # (1, W) f32-encoded cell keys
+        keys = chan(7)  # (1, W) f32-encoded cell keys
     # off[c] = first window index of cell c's run = #keys < cell_id;
     # one extra row (gm+1) gives run lengths len_c = off[c+1] - off[c].
     # key_base: first cell key of row 0 (nonzero for the slab layout,
@@ -325,10 +334,10 @@ def _expand_kernel(row_start_ref, recs_hbm, out_f32, out_pid, win2, sems,
         jnp.broadcast_to(base, (gm, cap)),
     )
     for comp in range(6):  # x, y, z, vx, vy, vz
-        d = redistribute(win2[slot, comp : comp + 1, :])
+        d = redistribute(chan(comp))
         d = jnp.where(slot_valid, d, park[comp] if comp < 3 else 0.0)
         out_f32[comp] = d.reshape(G, mc, cap)
-    pid = redistribute(win2[slot, 6:7, :]).astype(jnp.int32)
+    pid = redistribute(chan(6)).astype(jnp.int32)
     out_pid[...] = jnp.where(slot_valid, pid, -1).reshape(G, mc, cap)
 
 
@@ -523,7 +532,8 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, nch, W), jnp.float32),  # double-buffered windows
+            (pltpu.VMEM((2, nch, 1, W), jnp.float32) if split_dma
+             else pltpu.VMEM((2, nch, W), jnp.float32)),  # 2x-buffered
             pltpu.SemaphoreType.DMA((2, nch) if split_dma else (2,)),
         ],
     )
