@@ -401,21 +401,51 @@ def _half_center_penalty(spec: DenseSpec):
 GROUP_BLOCKS = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def _state_specs_grouped(spec, G: int):
-    """Grouped twin of _state_specs_merged: grid (mc, mc//G), each program
+def _state_specs_grouped(spec, G: int, nby: int | None = None):
+    """Grouped twin of _state_specs_merged: grid (mc, nby), each program
     owning G consecutive y-rows at one z. Five (3, G, mc, cap) state
     blocks per program (GROUP_BLOCKS) — 5G rows fetched where the per-row
     grid fetches 6G — and G× fewer programs, attacking the ~2.5 us/program
-    fixed cost that tools/tpu_launch_probe.py pinned as the launch floor."""
+    fixed cost that tools/tpu_launch_probe.py pinned as the launch floor.
+    ``nby`` defaults to mc//G (the divisor grid); the ceil grid passes
+    nby > mc/G and a y-PADDED state array (_pad_rows_y)."""
     mc = spec.mc
-    nby = mc // G
+    if nby is None:
+        nby = mc // G
     shape = (3, G, mc, spec.cap)
     specs = []
     for dz, db in GROUP_BLOCKS:
-        def m(z, gy, dz=dz, db=db):
+        def m(z, gy, dz=dz, db=db, nby=nby):
             return (0, ((z + dz) % mc) * nby + (gy + db) % nby, 0, 0)
         specs.append(pl.BlockSpec(shape, m, memory_space=pltpu.VMEM))
     return specs
+
+
+def _pad_rows_y(windows: jnp.ndarray, spec, nbyG: int) -> jnp.ndarray:
+    """Pad the y axis per z-plane for the ceil grouped grid:
+    (3, mc^2, mc, cap) -> (3, mc*nbyG, mc, cap) with pad = nbyG - mc >= 2
+    extra rows per z laid out [row-0 copy | far filler | row-(mc-1) copy].
+
+    The two copies are the ONLY padded rows a kept own row ever reads
+    (exhaustive case walk in lists_half_grouped's docstring): row mc
+    serves as the +y periodic-wrap window of row mc-1 (the kernel's
+    y+1 >= mc shift then matches the divisor grid's read of real row 0
+    bitwise) and row nbyG-1 as the -y wrap window of row 0. Filler rows
+    feed only computations whose output rows are sliced off; they sit at
+    a far constant (coincident filler slots give r2=0 — harmless for the
+    LIST kernels, which never divide; do NOT reuse this padding for a
+    force kernel without distinct filler positions)."""
+    mc, cap = spec.mc, spec.cap
+    pad = nbyG - mc
+    assert pad >= 2, "ceil grid needs the two wrap-copy rows distinct"
+    nc = windows.shape[0]
+    w5 = windows.reshape(nc, mc, mc, mc, cap)
+    parts = [w5, w5[:, :, :1]]
+    if pad > 2:
+        parts.append(jnp.full((nc, mc, pad - 2, mc, cap),
+                              jnp.float32(2.0e5)))
+    parts.append(w5[:, :, mc - 1:mc])
+    return jnp.concatenate(parts, axis=2).reshape(nc, mc * nbyG, mc, cap)
 
 
 def _pair_geom_group(win, own, dz: int, dy: int, z, y, spec):
@@ -1007,38 +1037,86 @@ def _list_half_kernel_grouped(*refs, spec, radius: float, G: int):
         outc_ref[t] = cnt
 
 
-def _group_for_lists(spec) -> int:
-    """Largest divisor G of mc (2..8) whose grouped list pass fits the
-    scoped-VMEM budget; 1 = keep the per-row merged grid. The model
-    counts pipeline-buffered in/out blocks (2x), the window cache, and
-    ~6 live (mc, cap, 3cap) packing temporaries."""
+def _group_ceil_nby(mc: int, G: int) -> int:
+    """y-block count of the grouped grid at group size G: ceil(mc/G),
+    bumped by one when that leaves exactly ONE padding row — the ceil
+    grid needs pad = 0 (divisor) or pad >= 2, because the +y and -y
+    periodic-wrap window copies (_pad_rows_y) must occupy DISTINCT
+    padded rows (padded row mc and padded row nby*G - 1)."""
+    nby = -(-mc // G)
+    if nby * G - mc == 1:
+        nby += 1
+    return nby
+
+
+def _group_for_lists(spec) -> tuple[int, int]:
+    """(G, nby) for the grouped list pass: largest G (2..8) whose grouped
+    grid fits the scoped-VMEM budget; (1, mc) = keep the per-row merged
+    grid. The model counts pipeline-buffered in/out blocks (2x), the
+    window cache, and ~6 live (mc, cap, 3cap) packing temporaries.
+
+    Round 5 (VERDICT r4 item 4): G need not divide mc — a non-divisor G
+    runs the CEIL grid (nby = _group_ceil_nby blocks, y-padded input via
+    _pad_rows_y, padded output rows sliced off). Divisor G is preferred
+    at equal size (no pad copy); the old G|mc gate excluded the N=8M
+    shape entirely (mc=71 is prime)."""
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
-    for G in range(8, 1, -1):
-        if mc % G:
-            continue
+    best, best_key = (1, mc), None
+    for G in range(2, 9):
+        if mc % G and G >= mc:  # ceil grid only below mc (divisor G == mc
+            continue  # is the legal nby=1 whole-plane grid)
+        nby = mc // G if mc % G == 0 else _group_ceil_nby(mc, G)
         blocks = 5 * 3 * G * mc * cap * 4 * 2
         outs = (5 * words * G * mc * 3 * cap + G * mc * cap) * 4 * 2
         wins = (2 * G + 3) * 3 * mc * 3 * cap * 4
         live = 6 * mc * cap * 3 * cap * 4
-        if blocks + outs + wins + live <= (13 << 20):
-            return G
-    return 1
+        if blocks + outs + wins + live > (13 << 20):
+            continue
+        # fewest programs first, then fewest padded rows: the divisor
+        # grid at equal nby beats a ceil grid that computes pad extra
+        # rows per z (mc=35: G=7 pad-free over G=8 pad=5, both nby=5)
+        key = (nby, nby * G)
+        if best_key is None or key < best_key:
+            best, best_key = (G, nby), key
+    return best
 
 
 def lists_half_grouped(windows, spec, G: int, radius: float,
-                       interpret: bool):
-    """Grouped-grid list emission (cube only): grid (mc, mc//G), G own
+                       interpret: bool, nby: int | None = None):
+    """Grouped-grid list emission (cube only): grid (mc, nby), G own
     y-rows per program. Same (counts, masks) artifact as lists_half_impl,
-    bitwise."""
+    bitwise.
+
+    Divisor G (nby*G == mc): the round-4 grid, no padding. Ceil G
+    (nby*G > mc, round 5): the y axis is padded per z to nby*G rows
+    (_pad_rows_y) and the padded rows' outputs sliced off. Why only the
+    two wrap-copy rows are ever read for KEPT output rows — every window
+    read is cache.get(dz, t+dy), t+dy in [-1, G], for an own row with
+    global y = gy*G + t < mc:
+      t+dy in [0, G): own block, global y+dy — real unless y = mc-1,
+        dy=+1 with t < G-1, which lands on padded row mc = the row-0
+        copy (the kernel's y+1 >= mc shift makes it bitwise equal to
+        the divisor grid's read of real row 0);
+      t+dy == G: the db=+1 block's row 0 = global (gy+1)*G — always a
+        real row when y is real (y = gy*G + G - 1 < mc implies
+        (gy+1)*G <= mc - 1 + 1... and == mc only when G | mc);
+      t+dy == -1: the db=-1 block's row G-1 = global gy*G - 1, real for
+        gy > 0; for gy == 0 the wrap block (nby-1) row G-1 = padded row
+        nby*G - 1 = the row-(mc-1) copy.
+    Filler rows between the two copies feed only sliced-off outputs."""
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
-    nby = mc // G
+    if nby is None:
+        nby = mc // G
+    rows_pad = mc * nby * G
+    if rows_pad != spec.rows:
+        windows = _pad_rows_y(windows, spec, nby * G)
     m, c = pl.pallas_call(
         functools.partial(_list_half_kernel_grouped, spec=spec,
                           radius=radius, G=G),
         grid=(mc, nby),
-        in_specs=_state_specs_grouped(spec, G),
+        in_specs=_state_specs_grouped(spec, G, nby),
         out_specs=[
             pl.BlockSpec((5 * words, G, mc, 3 * cap),
                          lambda z, gy: (0, z * nby + gy, 0, 0),
@@ -1047,13 +1125,18 @@ def lists_half_grouped(windows, spec, G: int, radius: float,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((5 * words, spec.rows, mc, 3 * cap),
+            jax.ShapeDtypeStruct((5 * words, rows_pad, mc, 3 * cap),
                                  jnp.int32),
-            jax.ShapeDtypeStruct((spec.rows, mc, cap), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, mc, cap), jnp.float32),
         ],
         scratch_shapes=_window_scratch(spec),
         interpret=interpret,
     )(*([windows] * 5))
+    if rows_pad != spec.rows:  # drop the padded y rows per z
+        nbyG = nby * G
+        m = m.reshape(5 * words, mc, nbyG, mc, 3 * cap)[:, :, :mc]
+        m = m.reshape(5 * words, spec.rows, mc, 3 * cap)
+        c = c.reshape(mc, nbyG, mc, cap)[:, :mc].reshape(spec.rows, mc, cap)
     masks = m.reshape(5, words, spec.rows, mc, 3 * cap)
     return c.astype(jnp.int32), masks
 
@@ -1075,14 +1158,15 @@ def dense_lists_half(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
         Works at any cap (words spans the slot axis). The total popcount
         equals the total pair count (each pair sets exactly one bit).
 
-    Takes the y-grouped grid (lists_half_grouped) when a divisor of mc
-    fits the VMEM model — G× fewer programs on a launch-cost-dominated
-    pass; falls back to the per-row merged grid (one pass per offset row
-    at _split_rows shapes); ~half the full sweep's pair evals either
-    way."""
-    G = 1 if _split_rows(spec, kind="lists") else _group_for_lists(spec)
+    Takes the y-grouped grid (lists_half_grouped) when a group size fits
+    the VMEM model — G× fewer programs on a launch-cost-dominated pass;
+    divisor G runs pad-free, non-divisor G the ceil grid (round 5).
+    Falls back to the per-row merged grid (one pass per offset row at
+    _split_rows shapes); ~half the full sweep's pair evals either way."""
+    G, nby = ((1, spec.mc) if _split_rows(spec, kind="lists")
+              else _group_for_lists(spec))
     if G > 1:
-        return lists_half_grouped(pos4, spec, G, radius, interpret)
+        return lists_half_grouped(pos4, spec, G, radius, interpret, nby)
     return lists_half_impl(pos4, spec, (spec.mc, spec.mc),
                            _state_specs_merged(spec), radius, True,
                            interpret)

@@ -1,17 +1,23 @@
-"""Expand-kernel DMA/sort ablation on the real chip (VERDICT r3 item 2):
-the rebuild's ~8 ms expand floor is DMA-wait bound, so try
+"""Expand-kernel DMA/sort ablation on the real chip (VERDICT r3 item 2,
+re-designed tile-legal in round 5 after VERDICT r4 weak-1: the round-4
+per-CHANNEL window split sliced 1/7 sublanes of the records matrix and
+Mosaic's 8-sublane tiling rejected both variants on hardware):
 
-  split   — issue the window copy as nchan CONCURRENT per-channel DMAs
-            (the default single (nchan, W) copy walks nchan strided
-            bursts sequentially);
-  fuse    — drop the key channel from the 8-payload sort (keys are
-            recomputed bitwise in-kernel from the position channels):
-            -1/8 sort payload AND -1/8 window DMA traffic;
-  both    — the two combined.
+  split K — issue the window copy as K CONCURRENT lane-chunk DMAs, each
+            covering all 8 record rows over W/K lanes (the default
+            single (8, W) copy is 8 strided HBM bursts one DMA engine
+            walks sequentially; chunking puts several in flight);
+  fuse    — drop the key channel read (keys are recomputed bitwise
+            in-kernel from the position channels). The sort still
+            carries the identical 8 operands and the window DMA still
+            copies 8 rows (tile alignment), so the only saving is the
+            dropped f32 key conversion + the unread sorted-key row.
+  both    — fuse + split 4 combined.
 
 Each variant is timed as the FULL rebuild chain (wrap + keys + sort +
 row starts + expand, reps chained in one jit) and checked bitwise equal
-to the baseline rebuild before its timing is trusted.
+(pos AND vel AND pid — ADVICE r4: vel goes through the same
+redistribute path) to the baseline rebuild before its timing is trusted.
 
     python tools/tpu_expand_probe.py --n 1000000 [--reps 10]
 """
@@ -40,6 +46,8 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--cap", type=int, default=40)
+    ap.add_argument("--blocked-only", action="store_true",
+                    help="time only baseline vs the blocked layout")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}  N={args.n} cap={args.cap}",
@@ -53,11 +61,13 @@ def main() -> int:
 
     ref, _ = rebuild_dense(st, spec, False)
     ref_pos = np.asarray(ref.pos)
+    ref_vel = np.asarray(ref.vel)
     ref_pid = np.asarray(ref.pid)
 
-    def timed(name, fuse, split):
-        new, _ = rebuild_dense(st, spec, False, fuse, split)
+    def timed(name, fuse, split, blocked=False):
+        new, _ = rebuild_dense(st, spec, False, fuse, split, blocked)
         eq = (np.array_equal(np.asarray(new.pos), ref_pos)
+              and np.array_equal(np.asarray(new.vel), ref_vel)
               and np.array_equal(np.asarray(new.pid), ref_pid))
 
         @jax.jit
@@ -65,7 +75,7 @@ def main() -> int:
             def body(i, acc):
                 s = state._replace(
                     pos=state.pos + (i % 2).astype(jnp.float32) * 1e-6)
-                n, _ = rebuild_dense(s, spec, False, fuse, split)
+                n, _ = rebuild_dense(s, spec, False, fuse, split, blocked)
                 return acc + jnp.sum(n.pos[0, 0, 0])
             return jax.lax.fori_loop(0, args.reps, body,
                                      jnp.zeros((), jnp.float32))
@@ -79,10 +89,14 @@ def main() -> int:
         return ms, eq
 
     results = {}
-    results["baseline"] = timed("baseline (8ch, 1 DMA)", False, False)
-    results["split"] = timed("split_dma (8ch)", False, True)
-    results["fuse"] = timed("fuse_keys (7ch)", True, False)
-    results["both"] = timed("fuse + split (7ch)", True, True)
+    results["baseline"] = timed("baseline (1 DMA)", False, 0)
+    if not args.blocked_only:
+        results["split2"] = timed("split_dma K=2", False, 2)
+        results["split4"] = timed("split_dma K=4", False, 4)
+        results["split8"] = timed("split_dma K=8", False, 8)
+        results["fuse"] = timed("fuse_keys", True, 0)
+        results["both"] = timed("fuse + split4", True, 4)
+    results["blocked"] = timed("blocked (tile-contig)", False, 0, True)
     bad = [k for k, (_, eq) in results.items() if not eq]
     if bad:
         print(f"PARITY FAILURES: {bad}", flush=True)

@@ -53,6 +53,16 @@ STAGES = {
     "decode8m": ("tools/tpu_decode_8m.py", []),
     "gather_force": ("tools/tpu_gather_force.py", ["--n", "1000000"]),
     "occupancy": ("tools/tpu_occupancy_probe.py", []),
+    # round-5 stages
+    "expand_probe": ("tools/tpu_expand_probe.py", []),
+    "expand_blocked": ("tools/tpu_expand_probe.py", ["--blocked-only"]),
+    "compile_variants": ("tools/validate_tpu.py", ["--compile-variants"]),
+    "rowstarts": ("tools/tpu_rowstarts_probe.py", []),
+    "dd_p1": ("tools/tpu_breadth_probe.py", ["--dd-p1"]),
+    "long8m": ("tools/tpu_breadth_probe.py", ["--long-run-8m"]),
+    "api_probe": ("tools/tpu_api_probe.py", []),
+    "api_probe100k": ("tools/tpu_api_probe.py", ["--n", "100000"]),
+    "lists8m": ("tools/tpu_lists8m_probe.py", []),
 }
 
 

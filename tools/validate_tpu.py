@@ -17,6 +17,7 @@ Exits nonzero on any failure; prints one PASS/FAIL line per gate.
 from __future__ import annotations
 
 import argparse
+import functools
 import pathlib
 import sys
 import time
@@ -35,11 +36,127 @@ def gate(name, ok, detail=""):
     return bool(ok)
 
 
+def compile_variants() -> bool:
+    """Force-compile EVERY kernel-variant flag combination reachable from
+    the public entry points on the real backend — compile-only (lower +
+    compile on abstract shapes, nothing executes), seconds each with a
+    warm /root/.jax_cache.
+
+    This is the structural answer to the interpret-mode blind spot
+    (VERDICT r4 item 2): twice a variant that passed interpret-mode tests
+    was rejected by real Mosaic (round-3 tpu.concatenate, round-4 both
+    expand flags' sub-8-sublane window slices). Interpret mode checks
+    math, not tiling; this gate checks tiling at BOTH production shape
+    families (the N=1M mc=35 and N=8M mc=71 grids, cap=40)."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.dense_cells import (DenseSpec, DenseState,
+                                                      rebuild_dense)
+    from md_neighbor_list_tpu.ops.slab_kernels import (SlabSpec,
+                                                       slab_forces_boundary,
+                                                       slab_forces_half,
+                                                       slab_forces_interior,
+                                                       slab_lists_half)
+
+    f32, i32 = jnp.float32, jnp.int32
+
+    def S(*shape, dt=f32):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    def state_of(spec):
+        R, mc, cap = spec.rows, spec.mc, spec.cap
+        return DenseState(pos=S(3, R, mc, cap), vel=S(3, R, mc, cap),
+                          pid=S(R, mc, cap, dt=i32))
+
+    jobs = []
+    for mc, L, tag in ((35, 100.0, "1M"), (71, 200.0, "8M")):
+        spec = DenseSpec(mc=mc, cap=40, L=L, cell_size=L / mc)
+        st = state_of(spec)
+        pv = (S(3, spec.rows, mc, 40), S(spec.rows, mc, 40))
+        for fuse in (False, True):
+            for split in (0, 2, 4, 8):
+                jobs.append((f"rebuild_dense[{tag} fuse={fuse} "
+                             f"split={split}]", rebuild_dense,
+                             (st, spec, False, fuse, split)))
+        jobs.append((f"rebuild_dense[{tag} blocked]", rebuild_dense,
+                     (st, spec, False, False, 0, True)))
+        jobs += [
+            (f"dense_lists_half[{tag}]", pallas_force.dense_lists_half,
+             (*pv, spec, 2.8, False)),
+            (f"dense_counts[{tag}]", pallas_force.dense_counts,
+             (*pv, spec, 2.8, False)),
+            (f"dense_counts_half[{tag}]", pallas_force.dense_counts_half,
+             (*pv, spec, 2.8, False)),
+            (f"dense_pe_virial[{tag}]", pallas_force.dense_pe_virial,
+             (*pv, spec, 2.5, False)),
+        ]
+        for wpe in (False, True):
+            jobs += [
+                (f"dense_forces[{tag} pe={wpe}]", pallas_force.dense_forces,
+                 (*pv, spec, 2.5, False, wpe)),
+                (f"dense_forces_half[{tag} pe={wpe}]",
+                 pallas_force.dense_forces_half, (*pv, spec, 2.5, False,
+                                                  wpe)),
+            ]
+        # both list grids, regardless of which the auto policy picks at
+        # this shape (grouped needs a G from the VMEM model; merged is
+        # the _split_rows fallback) — via monkeypatch-free direct calls
+        G, nby = pallas_force._group_for_lists(spec)
+        if G > 1:
+            jobs.append((
+                f"lists_half_grouped[{tag} G={G} nby={nby}]",
+                jax.jit(functools.partial(pallas_force.lists_half_grouped,
+                                          spec=spec, G=G, radius=2.8,
+                                          interpret=False, nby=nby)),
+                (pv[0],)))
+        jobs.append((
+            f"lists_half_merged[{tag}]",
+            jax.jit(functools.partial(
+                pallas_force.lists_half_impl, spec=spec,
+                grid=(mc, mc), specs=pallas_force._state_specs_merged(spec),
+                radius=2.8, zwrap=True, interpret=False)),
+            (pv[0],)))
+
+    # slab kernel family (nz >= 2 for the interior/boundary split)
+    mc, L, nz = 35, 100.0, 5
+    ss = SlabSpec(mc=mc, nz=nz, mc_z=mc, cap=40, L=L, cell_size=L / mc,
+                  cell_z=L / mc)
+    ext = ((nz + 1) * mc, mc, 40)
+    jobs += [
+        ("slab_lists_half", slab_lists_half,
+         (S(3, *ext), S(*ext), ss, 2.8, False)),
+        ("slab_forces_interior", slab_forces_interior,
+         (S(3, nz * mc, mc, 40), ss, 2.5, False)),
+        ("slab_forces_boundary", slab_forces_boundary,
+         (S(3, mc, mc, 40), S(3, mc, mc, 40), S(mc, mc, 40), ss, 2.5,
+          False)),
+    ]
+    for wpe in (False, True):
+        jobs.append((f"slab_forces_half[pe={wpe}]", slab_forces_half,
+                     (S(3, *ext), S(*ext), ss, 2.5, False, wpe)))
+
+    all_ok = True
+    for name, fn, fargs in jobs:
+        t0 = time.time()
+        try:
+            fn.lower(*fargs).compile()
+            print(f"  compiled {name} ({time.time() - t0:.1f}s)",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — report, fail the gate
+            all_ok = False
+            msg = str(e).splitlines()[0][:140]
+            print(f"  COMPILE FAIL {name}: {msg}", flush=True)
+    return gate(f"all kernel-variant flag combinations compile on "
+                f"{jax.devices()[0].platform} ({len(jobs)} programs)",
+                all_ok)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--n-oracle", type=int, default=16384)
     ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--compile-variants", action="store_true",
+                    help="run ONLY the kernel-variant compile gate")
     args = ap.parse_args()
 
     from md_neighbor_list_tpu.core.config import MDConfig
@@ -51,6 +168,12 @@ def main():
 
     ok = True
     print(f"device: {jax.devices()[0]}", flush=True)
+
+    # --- gate 0: every kernel-variant flag combo compiles on real Mosaic --
+    ok &= compile_variants()
+    if args.compile_variants:
+        print("ALL PASS" if ok else "FAILURES PRESENT", flush=True)
+        return 0 if ok else 1
 
     # --- small-N gates vs the O(N^2) oracle -------------------------------
     n0 = args.n_oracle
