@@ -1055,31 +1055,33 @@ def _group_for_lists(spec) -> tuple[int, int]:
     grid. The model counts pipeline-buffered in/out blocks (2x), the
     window cache, and ~6 live (mc, cap, 3cap) packing temporaries.
 
-    Round 5 (VERDICT r4 item 4): G need not divide mc — a non-divisor G
-    runs the CEIL grid (nby = _group_ceil_nby blocks, y-padded input via
-    _pad_rows_y, padded output rows sliced off). Divisor G is preferred
-    at equal size (no pad copy); the old G|mc gate excluded the N=8M
-    shape entirely (mc=71 is prime)."""
+    Round 5 (VERDICT r4 item 4): the CEIL grid (non-divisor G: nby =
+    _group_ceil_nby blocks, y-padded input via _pad_rows_y, padded
+    output rows sliced off) was built, bitwise-verified, and MEASURED
+    DEAD at the one shape that needed it — mc=71 (N=8M), where mc is
+    prime and the divisor rule excludes grouping entirely.
+    tools/tpu_lists8m_probe.py on hardware: merged per-row grid
+    68.30 ms/pass vs ceil G=2 75.19 / G=3 75.77 (both bitwise==True;
+    G=4 — the 13 MB VMEM model's pick — fails Mosaic's scoped-vmem
+    check outright, caught by the compile-variants gate). The padded
+    input copy (+4–8% rows materialized per pass over a 172 MB state),
+    the padded rows' window builds, and the padded-output slice cost
+    more than the 5041-program launch overhead they remove. The auto
+    policy therefore stays DIVISOR-ONLY (this also un-picks the
+    non-compiling G=4); the ceil machinery remains for the probe and
+    the parity tests as the recorded dead end."""
     mc, cap = spec.mc, spec.cap
     words = mask_words(cap)
-    best, best_key = (1, mc), None
-    for G in range(2, 9):
-        if mc % G and G >= mc:  # ceil grid only below mc (divisor G == mc
-            continue  # is the legal nby=1 whole-plane grid)
-        nby = mc // G if mc % G == 0 else _group_ceil_nby(mc, G)
+    for G in range(8, 1, -1):
+        if mc % G:
+            continue
         blocks = 5 * 3 * G * mc * cap * 4 * 2
         outs = (5 * words * G * mc * 3 * cap + G * mc * cap) * 4 * 2
         wins = (2 * G + 3) * 3 * mc * 3 * cap * 4
         live = 6 * mc * cap * 3 * cap * 4
-        if blocks + outs + wins + live > (13 << 20):
-            continue
-        # fewest programs first, then fewest padded rows: the divisor
-        # grid at equal nby beats a ceil grid that computes pad extra
-        # rows per z (mc=35: G=7 pad-free over G=8 pad=5, both nby=5)
-        key = (nby, nby * G)
-        if best_key is None or key < best_key:
-            best, best_key = (G, nby), key
-    return best
+        if blocks + outs + wins + live <= (13 << 20):
+            return G, mc // G
+    return 1, mc
 
 
 def lists_half_grouped(windows, spec, G: int, radius: float,

@@ -73,18 +73,19 @@ def kern(level, row_start_ref, recs_hbm, out_ref, win2, sems):
     cell_ids = (r * GM + jax.lax.broadcasted_iota(
         jnp.int32, (GM + 1, 1, 1), 0)).astype(jnp.float32)
     less = (keys[None] < cell_ids).astype(jnp.int32)
-    off_ext = jnp.sum(less, axis=(1, 2))
+    per_block = jnp.sum(less, axis=2)  # (GM+1, NBW) — never 1-D
+    off_ext = jnp.sum(per_block, axis=1, keepdims=True)  # (GM+1, 1)
     off = off_ext[:GM]
-    length = (off_ext[1:] - off)[:, None]
+    length = off_ext[1:] - off
     if level == 2:
         out_ref[...] = jnp.broadcast_to(
-            off.astype(jnp.float32)[:, None], (GM, CAP)).reshape(G, MC, CAP)
+            off.astype(jnp.float32), (GM, CAP)).reshape(G, MC, CAP)
         return
     j = off // 128
-    rr = (off - j * 128)[:, None]
+    rr = off - j * 128
     blocks = jax.lax.broadcasted_iota(jnp.int32, (GM, NBW), 1)
-    oh_a = (blocks == j[:, None]).astype(jnp.float32)
-    oh_b = (blocks == (j + 1)[:, None]).astype(jnp.float32)
+    oh_a = (blocks == j).astype(jnp.float32)
+    oh_b = (blocks == j + 1).astype(jnp.float32)
     plane = win2[slot, 0]
     a = jax.lax.dot_general(oh_a, plane, (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
@@ -95,7 +96,7 @@ def kern(level, row_start_ref, recs_hbm, out_ref, win2, sems):
     if level == 3:
         out_ref[...] = (a + b)[:, :CAP].reshape(G, MC, CAP)
         return
-    s0 = jnp.mod(128 - rr, 128)
+    s0 = jnp.mod(128 - rr, 128)  # (GM, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (GM, 128), 1)
     from_a = lane < (128 - rr)
     bit = 1

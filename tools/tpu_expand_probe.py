@@ -60,15 +60,14 @@ def main() -> int:
     st = st._replace(pos=st.pos + 0.05 * st.vel)
 
     ref, _ = rebuild_dense(st, spec, False)
-    ref_pos = np.asarray(ref.pos)
-    ref_vel = np.asarray(ref.vel)
-    ref_pid = np.asarray(ref.pid)
 
     def timed(name, fuse, split, blocked=False):
         new, _ = rebuild_dense(st, spec, False, fuse, split, blocked)
-        eq = (np.array_equal(np.asarray(new.pos), ref_pos)
-              and np.array_equal(np.asarray(new.vel), ref_vel)
-              and np.array_equal(np.asarray(new.pid), ref_pid))
+        # device-side bitwise compare (pos AND vel AND pid — ADVICE r4);
+        # host fetches of the 60 MB state crawl at tunnel speed
+        eq = bool(np.asarray(jax.jit(
+            lambda a, b: jnp.all(a.pos == b.pos) & jnp.all(a.vel == b.vel)
+            & jnp.all(a.pid == b.pid))(new, ref)))
 
         @jax.jit
         def chained(state):

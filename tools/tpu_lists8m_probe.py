@@ -81,7 +81,7 @@ def main() -> int:
                     pos=state.pos + (i % 2).astype(jnp.float32) * 1e-6)
                 c, m = fn(s.pos)
                 return (acc + jnp.sum(c).astype(jnp.float32)
-                        + m[0, 0, 0, 0] * 0.0)
+                        + m[0, 0, 0, 0, 0].astype(jnp.float32) * 0.0)
             return jax.lax.fori_loop(0, args.reps, body,
                                      jnp.zeros((), jnp.float32))
 

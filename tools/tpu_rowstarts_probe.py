@@ -13,7 +13,14 @@ Variants:
              starts are 128-aligned by construction, so the element gather
              becomes two contiguous row fetches
   hist     — one-hot bf16 histogram MATMUL over the UNSORTED keys + cumsum
-             (measured standalone: 3.62 ms vs hier 2.72 at S=1.7M)
+
+Canonical numbers (round-5 run at S=1.715M — the cite shared with
+ops/dense_cells._row_starts): standalone hier 1.53 / hier_t 2.54 /
+rowg 1.61 / hist 4.55 ms; INSIDE the full rebuild all four variants
+measure 12.8-13.0 ms (indistinguishable — XLA overlaps the sub-2 ms
+variants with neighboring ops). Standalone sub-2 ms timings vary
+~±0.3 ms between tunnel sessions; earlier rounds' quotes
+(1.26/3.64/4.64 and 2.72/3.62) were different sessions of this probe.
 
 All variants are asserted EQUAL on the production key stream before
 timing. Usage: python tools/tpu_rowstarts_probe.py --n 1000000 [--reps 20]

@@ -63,6 +63,7 @@ STAGES = {
     "api_probe": ("tools/tpu_api_probe.py", []),
     "api_probe100k": ("tools/tpu_api_probe.py", ["--n", "100000"]),
     "lists8m": ("tools/tpu_lists8m_probe.py", []),
+    "blocked_bisect": ("tools/tpu_blocked_bisect.py", []),
 }
 
 
