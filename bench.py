@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def log(msg: str) -> None:
@@ -115,7 +115,7 @@ def bench_pallas(cfg, args):
     # Re-init on the now-warm executables: the difference is the COMPILE
     # share of the cold start (plus any relay stall the first call ate) —
     # separating "XLA compile" from "tunnel stall" numerically in the
-    # BENCH tail (VERDICT r3 weak-1). With a warm /root/.jax_cache the
+    # BENCH tail (VERDICT r3 weak-1). With a warm /root/repo/.jax_cache the
     # first call is already seconds and the share reads ~0.
     t0 = time.time()
     carry = sim.init(jax.random.PRNGKey(0))

@@ -149,6 +149,33 @@ def masks_to_padded(masks, pid, spec, n: int | None = None,
     """
     if n is None:
         n = max(int(np.asarray(pid).max()) + 1, 0)
+    if impl in ("auto", "native") and n > 0:
+        from md_neighbor_list_tpu.utils import native
+
+        try:
+            # single-pass C++ emitter: walks the bits straight into the
+            # padded rows (no pair buffer, no argsort — the numpy
+            # construction below stable-sorts every pair, tens of host
+            # seconds at N=1M). First pass guesses K; a too-small guess
+            # reports the true max count and one re-pass finishes.
+            guess = k_cap if k_cap is not None else 64
+            idx, cnt, maxc = native.decode_half_padded(
+                masks, pid, spec.mc, spec.cap, n, guess, full)
+            if k_cap is not None:
+                if maxc > k_cap:
+                    raise ValueError(
+                        f"k_cap={k_cap} < max half count {maxc}")
+                return idx, cnt
+            k = max(8, -(-maxc // 8) * 8)  # numpy-default K contract
+            if k > guess:
+                idx, cnt, maxc = native.decode_half_padded(
+                    masks, pid, spec.mc, spec.cap, n, k, full)
+            elif k < guess:
+                idx = np.ascontiguousarray(idx[:, :k])
+            return idx, cnt
+        except native.NativeUnavailable:
+            if impl == "native":
+                raise
     pi, pj = _decode_pid_pairs(masks, pid, spec, impl)
     pi = pi.astype(np.int64)
     pj = pj.astype(np.int64)

@@ -555,7 +555,15 @@ def _split_rows(spec, want_pe: bool = False, kind: str = "force") -> bool:
     fit). The FORCE kernels use the finer-grained ``_row_groups`` policy
     instead (``want_pe``/"force" kept for compatibility with existing
     monkeypatch-based tests)."""
-    live = {"force": 29 if want_pe else 16, "counts": 10, "lists": 10}[kind]
+    live = {"force": 29 if want_pe else 16, "counts": 10, "lists": 10,
+            # pe_virial carries TWO per-slot output accumulators plus the
+            # pe+virial pair math per unrolled row; the merged 5-row form
+            # is rejected by the chip's compiler at the N=8M shape
+            # (mc=71: round-5 compile gate, tpu_compile_helper abort)
+            # where the counts model (10 units = 13.6 MB) still fits —
+            # 16 units splits it there and keeps N=1M (10.7 MB) merged,
+            # which compiles and runs on hardware
+            "pe_virial": 16}[kind]
     return live * spec.mc * spec.cap * 3 * spec.cap * 4 > (14 << 20)
 
 
@@ -896,7 +904,7 @@ def dense_pe_virial(pos4: jnp.ndarray, valid_f32: jnp.ndarray,
     windows = pos4  # read directly under the park invariant
     specs = _state_specs_merged(spec)
     groups = ([(k,) for k in range(5)]
-              if _split_rows(spec, kind="counts")
+              if _split_rows(spec, kind="pe_virial")
               else [(0, 1, 2, 3, 4)])
     pe = None
     vir = None

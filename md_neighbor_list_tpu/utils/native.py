@@ -55,6 +55,11 @@ def load() -> ctypes.CDLL:
                 i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 i32p, i32p, ctypes.c_int64,
             ]
+            lib.mdnl_decode_half_padded.restype = ctypes.c_int64
+            lib.mdnl_decode_half_padded.argtypes = [
+                i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, i32p, i32p,
+            ]
         except (OSError, subprocess.CalledProcessError) as e:
             _err = e
             raise NativeUnavailable(str(e)) from e
@@ -71,13 +76,7 @@ def decode_half(masks, pid, mc: int, cap: int):
     lib = load()
     m = np.ascontiguousarray(np.asarray(masks), dtype=np.int32)
     p = np.ascontiguousarray(np.asarray(pid), dtype=np.int32)
-    words = int(m.shape[1])
-    if m.shape != (5, words, mc * mc, mc, 3 * cap):
-        raise ValueError(f"masks shape {m.shape} does not match the "
-                         f"(5, words, mc², mc, 3·cap) layout at mc={mc}, "
-                         f"cap={cap}")
-    if p.shape != (mc * mc, mc, cap):
-        raise ValueError(f"pid shape {p.shape} != {(mc * mc, mc, cap)}")
+    words = _check_mask_shapes(m, p, mc, cap)
     i32p = ctypes.POINTER(ctypes.c_int32)
     total = lib.mdnl_mask_pair_count(
         m.ctypes.data_as(i32p), mc, cap, words)
@@ -92,3 +91,47 @@ def decode_half(masks, pid, mc: int, cap: int):
                          "pid are from different states")
     assert nout == total, (nout, total)  # count pass == decode pass
     return own, partner
+
+
+def _check_mask_shapes(m, p, mc: int, cap: int) -> int:
+    words = int(m.shape[1])
+    if m.shape != (5, words, mc * mc, mc, 3 * cap):
+        raise ValueError(f"masks shape {m.shape} does not match the "
+                         f"(5, words, mc², mc, 3·cap) layout at mc={mc}, "
+                         f"cap={cap}")
+    if p.shape != (mc * mc, mc, cap):
+        raise ValueError(f"pid shape {p.shape} != {(mc * mc, mc, cap)}")
+    return words
+
+
+def decode_half_padded(masks, pid, mc: int, cap: int, n: int,
+                       k_cap: int, full: bool):
+    """Decode packed masks STRAIGHT into fixed-capacity padded rows via
+    the single-pass C++ emitter — no pair buffer, no sort (the numpy
+    padded-row construction stable-argsorts every pair; at N=1M / 40M
+    pairs that is tens of seconds on this 1-vCPU host, the walk is ~1 s).
+
+    Returns (idx (n, k_cap) i32 padded with sentinel n, cnt (n,) i32,
+    max_count). If max_count > k_cap the rows are TRUNCATED (counts stay
+    correct) — the caller decides whether to re-call with a bigger k_cap
+    or raise (mirrors masks_to_padded's k_cap contract)."""
+    import numpy as np
+
+    lib = load()
+    m = np.ascontiguousarray(np.asarray(masks), dtype=np.int32)
+    p = np.ascontiguousarray(np.asarray(pid), dtype=np.int32)
+    words = _check_mask_shapes(m, p, mc, cap)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    idx = np.empty((n, k_cap), np.int32)
+    cnt = np.empty((n,), np.int32)
+    maxc = lib.mdnl_decode_half_padded(
+        m.ctypes.data_as(i32p), p.ctypes.data_as(i32p), mc, cap, words,
+        n, k_cap, 1 if full else 0,
+        idx.ctypes.data_as(i32p), cnt.ctypes.data_as(i32p),
+    )
+    if maxc == -1:
+        raise ValueError("mask bit points at an empty slot — masks and "
+                         "pid are from different states")
+    if maxc == -3:
+        raise ValueError(f"n={n} is smaller than max decoded pid")
+    return idx, cnt, int(maxc)

@@ -96,3 +96,53 @@ def test_native_validates_shapes():
     with pytest.raises(ValueError, match="layout"):
         native.decode_half(np.asarray(masks)[:, :, :-1], state.pid,
                            spec.mc, spec.cap)
+
+
+def test_native_padded_emitter_contract():
+    """The single-pass padded emitter (mdnl_decode_half_padded): row sets
+    == the numpy construction at every K regime — truncating (guess too
+    small: counts stay correct, maxc reports the true requirement),
+    exact, and oversized (rows padded with sentinel n) — and the full=True
+    symmetric variant."""
+    state, spec, masks, total = _artifact(cap=40)
+    n = int(np.asarray(state.pid).max()) + 1
+    idx_r, cnt_r = masks_to_padded(masks, state.pid, spec, n=n,
+                                   impl="numpy")
+    true_k = int(cnt_r.max())
+
+    # truncating pass: counts and maxc are exact even though rows clip
+    idx_t, cnt_t, maxc = native.decode_half_padded(
+        masks, state.pid, spec.mc, spec.cap, n, 2, False)
+    assert maxc == true_k
+    np.testing.assert_array_equal(cnt_t, cnt_r)
+    assert idx_t.shape == (n, 2)
+
+    # exact + oversized passes: same row SETS as numpy (walk order differs)
+    for k in (true_k, true_k + 13):
+        idx_k, cnt_k, maxc = native.decode_half_padded(
+            masks, state.pid, spec.mc, spec.cap, n, k, False)
+        assert maxc == true_k
+        np.testing.assert_array_equal(cnt_k, cnt_r)
+        pad = np.full((n, idx_r.shape[1] + k), n, np.int32)
+        pad[:, : k] = idx_k
+        np.testing.assert_array_equal(
+            np.sort(pad[:, : max(k, idx_r.shape[1])], axis=1)[:, : true_k],
+            np.sort(idx_r, axis=1)[:, : true_k])
+        assert (np.sort(idx_k, axis=1)[:, true_k:] == n).all()
+
+    # full=True: both wrappers agree (sorted rows; counts identical)
+    idx_fn, cnt_fn = masks_to_padded(masks, state.pid, spec, n=n,
+                                     impl="native", full=True)
+    idx_fr, cnt_fr = masks_to_padded(masks, state.pid, spec, n=n,
+                                     impl="numpy", full=True)
+    np.testing.assert_array_equal(cnt_fn, cnt_fr)
+    k = min(idx_fn.shape[1], idx_fr.shape[1])
+    assert (np.sort(idx_fn, axis=1)[:, k:] == n).all()
+    assert (np.sort(idx_fr, axis=1)[:, k:] == n).all()
+    np.testing.assert_array_equal(np.sort(idx_fn, axis=1)[:, :k],
+                                  np.sort(idx_fr, axis=1)[:, :k])
+
+    # explicit-k_cap overflow surfaces as the contract ValueError
+    with pytest.raises(ValueError, match="k_cap"):
+        masks_to_padded(masks, state.pid, spec, n=n, impl="native",
+                        k_cap=max(1, true_k - 1))

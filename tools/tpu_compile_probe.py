@@ -9,7 +9,7 @@ Splits, for each jitted program of the dense engine, the three phases the
   execute       first real dispatch (tunnel + device)
 
 Run twice: the second run's compile column shows whether
-/root/.jax_cache actually hits across processes (it should — misses here
+/root/repo/.jax_cache actually hits across processes (it should — misses here
 mean the cache key moved, e.g. the kernel source changed).
 """
 import argparse
@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def main():

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def gate(name, ok, detail=""):
@@ -40,7 +40,7 @@ def compile_variants() -> bool:
     """Force-compile EVERY kernel-variant flag combination reachable from
     the public entry points on the real backend — compile-only (lower +
     compile on abstract shapes, nothing executes), seconds each with a
-    warm /root/.jax_cache.
+    warm /root/repo/.jax_cache.
 
     This is the structural answer to the interpret-mode blind spot
     (VERDICT r4 item 2): twice a variant that passed interpret-mode tests
