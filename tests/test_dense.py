@@ -571,3 +571,23 @@ def test_row_groups_policy_invariants():
     assert pallas_force._row_groups(n1m) == [(0, 1, 2, 3, 4)]
     n8m = DenseSpec(mc=71, cap=40, L=200.0, cell_size=200.0 / 71)
     assert len(pallas_force._row_groups(n8m)) > 1  # must split at N=8M
+
+
+def test_pe_virial_split_policy():
+    """dense_pe_virial's live-set kind must SPLIT at the N=8M shape (mc=71
+    cap=40: the merged 5-row form is rejected by the chip's compiler —
+    round-5 compile gate) and stay MERGED at the N=1M shape (mc=35 cap=40:
+    merged compiles and runs on hardware). Regression for the latent 8M
+    thermo()/pressure() compile failure the compile-variants gate caught."""
+    from md_neighbor_list_tpu.ops import pallas_force
+    from md_neighbor_list_tpu.ops.dense_cells import DenseSpec
+
+    n1m = DenseSpec(mc=35, cap=40, L=100.0, cell_size=100.0 / 35)
+    n8m = DenseSpec(mc=71, cap=40, L=200.0, cell_size=200.0 / 71)
+    assert not pallas_force._split_rows(n1m, kind="pe_virial")
+    assert pallas_force._split_rows(n8m, kind="pe_virial")
+    # and it must be at least as conservative as the counts model (two
+    # output accumulators cannot be cheaper than one)
+    for spec in (n1m, n8m):
+        if pallas_force._split_rows(spec, kind="counts"):
+            assert pallas_force._split_rows(spec, kind="pe_virial")
