@@ -15,6 +15,7 @@ through ``jit`` / ``lax.scan`` / ``shard_map`` unchanged.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -59,7 +60,10 @@ def init_lattice(n: int, rho: float, key=None, temperature: float = 1.0) -> tupl
     momentum-conservation gate, SURVEY.md §6.2).
     """
     box = Box.from_density(n, rho)
-    m = int(jnp.ceil(n ** (1.0 / 3.0)))
+    # host math, not jnp: n is static shape logic, and keeping it off the
+    # trace lets init_lattice inline into a jitted caller (DenseSimulator's
+    # fused cold-start program)
+    m = math.ceil(n ** (1.0 / 3.0))
     while m**3 < n:  # guard fp roundoff in ceil
         m += 1
     spacing = box.L / m

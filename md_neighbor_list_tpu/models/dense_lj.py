@@ -228,8 +228,23 @@ class DenseSimulator:
                 total = jnp.sum(jnp.where(new.valid(), counts, 0))
             return new, counts, masks, total
 
+        @jax.jit
+        def init_full(key) -> DenseCarry:
+            """The whole lattice cold start — lattice + Maxwell velocities
+            + park + first rebuild + first forces — as ONE compiled
+            program. The eager path (init_lattice -> from_packed ->
+            initial_build as separate dispatches) pays one relay/compile
+            round-trip per small op: ~200 s of the measured N=1M cold
+            start was that chain, not the three big program compiles
+            (round-5 cold-start decomposition, BASELINE.md). One program
+            = one persistent-cache entry = one dispatch."""
+            system, _ = init_lattice(cfg.n, cfg.rho, key, cfg.temperature)
+            state = from_packed(system.pos, system.vel, system.pid, spec)
+            return initial_build(state)
+
         self._run_chunk = run_chunk
         self._initial_build = initial_build
+        self._init_full = init_full
         self._energies = energies
         self._thermo = thermo
         self._rebuild_and_lists = rebuild_and_lists
@@ -238,11 +253,24 @@ class DenseSimulator:
     # ------------------------------------------------------------------ API
     def init(self, key=None, lattice: bool = True) -> DenseCarry:
         cfg = self.config
-        if lattice:
-            system, _ = init_lattice(cfg.n, cfg.rho, key, cfg.temperature)
-        else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        if not lattice:
             system, _ = init_random(key, cfg.n, cfg.rho, cfg.temperature)
-        return self.build(system)
+            return self.build(system)
+        # lattice path: one fused program (see _init_full) with the same
+        # overflow-growth retry protocol as build()
+        while True:
+            try:
+                carry = self._init_full(key)
+            except ValueError:  # N > total dense slots: grow cap + retry
+                self.cap = grow_cap(self.cap)
+                self._compile()
+                continue
+            if not bool(np.asarray(carry.overflow)):
+                return carry
+            self.cap = grow_cap(self.cap)
+            self._compile()
 
     def build(self, system: System) -> DenseCarry:
         while True:
