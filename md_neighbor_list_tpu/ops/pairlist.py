@@ -17,6 +17,14 @@ oracle (SURVEY.md §6.2).
 Memory discipline: the (chunk, 27*cell_cap) candidate tile is the only large
 intermediate; rows are processed in chunks under ``lax.map`` so peak memory is
 O(chunk * cell_cap), never O(N * cell_cap).
+
+Chunk-size ablation on the real chip (round 5, N=1M warm, one-shot
+neighbor_list(backend="xla")): chunk 2048 / 8192 / 32768 run 21.6 / 26.1 /
+33.7 s — the default 2048 is already the fastest (the per-row candidate
+GATHER dominates; bigger tiles only add VMEM pressure), while larger
+chunks compile faster cold (146 vs 59 s) because the scan has fewer
+steps. The default stays 2048: this path's users are CPU runs and small
+N, where compile time is small anyway.
 """
 
 from __future__ import annotations

@@ -114,6 +114,8 @@ def main():
         print("PROBE OK", flush=True)
         return
 
+    phase("init_full (fused cold start)", sim._init_full,
+          jax.random.PRNGKey(0))
     carry = phase("initial_build", sim._initial_build, state)
     phase("run_chunk(50)", sim._run_chunk, carry, 50, n_static=1)
     phase("rebuild_and_lists", sim._rebuild_and_lists, carry.state)
