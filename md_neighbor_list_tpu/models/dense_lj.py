@@ -259,14 +259,18 @@ class DenseSimulator:
             system, _ = init_random(key, cfg.n, cfg.rho, cfg.temperature)
             return self.build(system)
         # lattice path: one fused program (see _init_full) with the same
-        # overflow-growth retry protocol as build()
+        # overflow-growth retry protocol as build(). The N-vs-slots check
+        # is done HERE (same arithmetic from_packed would raise on) rather
+        # than by catching ValueError around the jit call: the trace
+        # covers the whole fused program, so a broad except would misread
+        # any unrelated ValueError as "grow cap" and loop forever on a
+        # cap-independent error (round-5 review finding).
         while True:
-            try:
-                carry = self._init_full(key)
-            except ValueError:  # N > total dense slots: grow cap + retry
+            if cfg.n > self.spec.slots:
                 self.cap = grow_cap(self.cap)
                 self._compile()
                 continue
+            carry = self._init_full(key)
             if not bool(np.asarray(carry.overflow)):
                 return carry
             self.cap = grow_cap(self.cap)

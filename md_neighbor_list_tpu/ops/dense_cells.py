@@ -629,6 +629,15 @@ def sort_expand(keys: jnp.ndarray, chans: tuple, spec,
     G = _expand_group(mc, cap) if group is None else group
     nprog = (spec.rows + G - 1) // G
     rows_pad = nprog * G
+    if blocked and spec.cap > 128:
+        # the blocked kernel's redistribute gathers a run from at most TWO
+        # consecutive 128-lane blocks (docstring invariant cap <= 128);
+        # beyond that, runs span 3+ blocks and slots would silently read
+        # wrapped junk that can carry pid >= 0 and evade the slot-count
+        # conservation check — fail loudly instead (round-5 review
+        # finding; reachable after repeated overflow growths 40->...->152)
+        raise ValueError(f"blocked expand layout requires cap <= 128 "
+                         f"(got {spec.cap}); use the default layout")
     if blocked and (window is not None or fuse_keys or split_dma):
         raise ValueError("blocked layout has its own window sizing and "
                          "always carries the 8-channel record matrix")

@@ -84,3 +84,31 @@ def test_all_windows_stalled_falls_back_to_all(monkeypatch):
     assert extra["windows_unstalled"] == 0
     assert sps == 100 / 4.0
     assert np.isfinite(sps)
+
+
+def test_majority_stalls_rejected(monkeypatch):
+    # Round-5 review finding: with a plain all-window median anchor, 3/5
+    # two-minute relay stalls would BE the median, pass the 1.5x gate, and
+    # poison the steps/s median ~30x. The lower-half-median anchor keeps
+    # the two clean windows as the anchor and rejects all three stalls.
+    sps, extra = _run(
+        monkeypatch,
+        durations=[4.0, 120.0, 4.2, 130.0, 125.0],
+        counters=[9, 18, 28, 37, 47],
+        caps=[40] * 5,
+    )
+    assert abs(sps - 100 / 4.1) < 1e-9
+    assert extra["windows_unstalled"] == 2
+
+
+def test_lucky_fast_outlier_kept(monkeypatch):
+    # The inverse failure the round-3 fastest-window anchor had: one lucky
+    # 2 s window must not reclassify the four normal ~4 s windows as
+    # stalled.
+    sps, extra = _run(
+        monkeypatch,
+        durations=[2.0, 4.0, 4.1, 4.0, 4.2],
+        counters=[9, 18, 28, 37, 47],
+        caps=[40] * 5,
+    )
+    assert extra["windows_unstalled"] == 5

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 from md_neighbor_list_tpu import api
 from md_neighbor_list_tpu.core.system import init_lattice
@@ -115,22 +115,25 @@ def main() -> int:
     system, box = init_lattice(args.n, 1.0, jax.random.PRNGKey(0), 1.0)
     pos = jnp.asarray(np.asarray(system.pos))  # concrete device array
 
-    pairs = 0
+    counts = {}  # EVERY backend's count is gated (round-5 review finding:
+    # keeping only the last one let a dense miscount pass behind xla's)
     for backend in args.backends.split(","):
-        pairs = _timed_backend(pos, box.L, args.radius, backend)
+        counts[backend] = _timed_backend(pos, box.L, args.radius, backend)
     if args.phases:
         _dense_phases(pos, box, args.radius)
 
+    ok = len(set(counts.values())) == 1  # backends must agree everywhere
     if args.n <= 200_000:  # O(N^2) oracle affordable
         from md_neighbor_list_tpu.ops import oracle
         want = int(oracle.pair_count(pos, box, args.radius))
-        ok = pairs == want
-        print(f"pair parity vs oracle: {pairs} vs {want} "
+        ok = all(v == want for v in counts.values())
+        print(f"pair parity vs oracle: {counts} vs {want} "
               f"{'PASS' if ok else 'FAIL'}", flush=True)
         return 0 if ok else 1
-    print("pair parity: skipped (O(N^2) oracle; the validate_tpu ladder "
-          "covers parity at this N)", flush=True)
-    return 0
+    print(f"cross-backend pair parity: {counts} "
+          f"{'PASS' if ok else 'FAIL'} (O(N^2) oracle skipped at this N; "
+          "the validate_tpu ladder covers it)", flush=True)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

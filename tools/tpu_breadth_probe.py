@@ -24,7 +24,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -173,8 +173,10 @@ def dd_p1() -> None:
         _ = int(np.asarray(state.n_rebuilds)[0])  # host fetch = the fence
         ws.append(time.time() - t1)
         print(f"window {w}: {ws[-1]:.2f}s", flush=True)
-    # median-anchored stall rejection (bench.py timed_windows, r5)
-    anchor = float(np.median(ws))
+    # lower-half-median stall rejection (bench.py timed_windows, r5:
+    # anchored on the fastest half so majority stalls cannot poison it)
+    lo = sorted(ws)[: (len(ws) + 1) // 2]
+    anchor = float(np.median(lo))
     ws_ok = sorted(t for t in ws if t <= 1.5 * anchor)
     med = ws_ok[len(ws_ok) // 2]
     print(f"P=1 dense_slab N=1M steps/s median: {200 / med:.2f} "

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 from md_neighbor_list_tpu.core.system import init_lattice
 from md_neighbor_list_tpu.ops.dense_cells import (_flat, _row_starts,

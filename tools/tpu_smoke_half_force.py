@@ -9,7 +9,7 @@ import sys, pathlib, time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax, jax.numpy as jnp, numpy as np
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 from md_neighbor_list_tpu.core.system import init_lattice
 from md_neighbor_list_tpu.ops import dense_ref, pallas_force
